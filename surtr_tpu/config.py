@@ -1,0 +1,98 @@
+"""Configuration dataclasses.
+
+``FractureConfig`` mirrors the reference's runtime ``FractureArgs``
+(/root/reference/Inc/Surtr.h:89-110) with the same parameter names/defaults so
+parity runs are config-compatible. Static shape maxima (the TPU analogue of the
+reference's compile-time caps, Surtr.h:261-268) live here too, since they are
+part of the jit cache key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class FractureConfig:
+    """Runtime fracture parameters (reference: FractureArgs, Surtr.h:89-110)."""
+
+    # Hull / fitting limits.
+    ich_include_point_limit: int = 20      # ICHIncludePointLimit
+    ach_plane_gap_inverse: float = 2000.0  # ACHPlaneGapInverse
+    refitting_point_limit: int = 4         # RefittingPointLimit
+
+    seed: int = 46354                      # Seed (std::mt19937 in the reference;
+                                           # we mirror *seeded determinism*, not
+                                           # the exact bit-stream: SURVEY.md §3)
+
+    impact_radius: float = 1.0             # ImpactRadius
+    radial_mode: bool = True               # RadialMode
+    partial_fracture: bool = True          # PartialFracture
+    partial_pattern_dist: float = 0.01     # PartialFracturePatternDist
+    general_pattern_dist: float = 1.0      # GeneralFracturePatternDist
+
+    initial_decompose_cell_cnt: int = 64   # InitialDecomposeCellCnt
+    partial_pattern_cell_cnt: int = 128    # PartialFracturePatternCellCnt
+    general_pattern_cell_cnt: int = 1024   # GeneralFracturePatternCellCnt
+
+    target_adder: float = 0.01             # TargetAdder (impact point push-in)
+
+    # --- static shape maxima (TPU padding; not in the reference) ---
+    max_faces: int = 32          # F: faces per convex polytope
+    max_face_verts: int = 16     # S: vertex slots per face loop
+    max_pieces: int = 256        # piece capacity after compaction
+    max_active_pieces: int = 32  # pieces clipped per fracture event (partial mode)
+    voronoi_neighbors: int = 48  # k-nearest seeds whose bisectors clip a cell
+    max_mesh_tris: int = 2048    # visual-mesh triangle capacity per compound
+    max_piece_tris: int = 512    # visual-mesh triangle capacity per piece
+
+    # f32 tolerance at unit scale (reference: 1e-10 in f64, Poly.cpp:718).
+    plane_tol: float = 1e-6
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsConfig:
+    """Rigid-body parameters (reference: PhysX init, Surtr.cpp:1135-1164)."""
+
+    dt: float = 1.0 / 120.0        # fixed step (Surtr.cpp:118-119, :330)
+    gravity: float = -9.81         # (Surtr.cpp:1147)
+    density: float = 10.0          # updateMassAndInertia(10) (Surtr.cpp:2520)
+    static_friction: float = 0.5   # PxMaterial (Surtr.cpp:1160)
+    dynamic_friction: float = 0.5
+    restitution: float = 0.1
+    ground_y: float = -2.0         # PxPlane(0,1,0,2) (Surtr.cpp:1527-1528)
+
+    solver_iters: int = 16         # projected-impulse iterations
+    baumgarte: float = 0.2         # positional-bias factor
+    contact_slop: float = 1e-3
+    max_neighbors: int = 8         # candidate contact pairs per body (broadphase)
+    max_ground_contacts: int = 4   # deepest vertices used for ground manifold
+    max_hull_verts: int = 64       # padded collision-hull vertex count
+    sleep_velocity: float = 0.0    # 0 disables sleeping
+
+    broadphase_block: int = 512    # row-block size for the k-nearest sweep
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Software-rasterizer parameters (reference: Surtr.cpp:370-664, shaders)."""
+
+    width: int = 512
+    height: int = 512
+    shadow_size: int = 1024        # reference clamps 4096-8192 (SurtrArgument.h:36);
+                                   # configurable here, bench picks what fits budget
+    ambient: float = 0.08          # Shader.hlsli ambient term
+    pcf_taps: int = 3              # 3x3 = 9-tap PCF (Shader.hlsli:97-126)
+    fov_deg: float = 45.0
+    z_near: float = 0.01
+    z_far: float = 500.0
+    tile: int = 16                 # raster tile edge (pixels)
+    tris_per_tile: int = 256       # binning capacity per tile
+    depth_bias: float = 2e-3       # shadow-depth bias (reference PSO bias 100000)
+
+
+@dataclasses.dataclass(frozen=True)
+class SceneConfig:
+    fracture: FractureConfig = dataclasses.field(default_factory=FractureConfig)
+    physics: PhysicsConfig = dataclasses.field(default_factory=PhysicsConfig)
+    render: RenderConfig = dataclasses.field(default_factory=RenderConfig)
