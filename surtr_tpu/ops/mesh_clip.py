@@ -1,0 +1,158 @@
+"""Visual-mesh (triangle soup) clipping and solid queries.
+
+The reference clips the visual mesh as an adjacency polyhedron with cap
+closure (Poly::ClipPolyhedron on Piece::Mesh, Surtr.cpp:1470-1472). The TPU
+redesign clips the *triangle soup* instead: each triangle × plane-list clip is
+an independent masked Sutherland–Hodgman over a small padded polygon, then a
+fan re-triangulation — fully parallel over triangles. Cut-surface caps are
+taken from the convex proxy's cap faces (DESIGN.md: documented divergence —
+convex quantities stay exact, caps can overshoot slightly for non-convex
+meshes).
+
+``point_in_mesh`` (ray-parity test) supplies the solid-occupancy query used to
+keep interior fracture cells that contain no surface triangles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol):
+    """SH-clip a batch of small polygons by one plane.
+
+    poly: (T, S, 3); n_vert: (T,). Returns same shapes. Keeps n·x + d < 0.
+    """
+    T, S, _ = poly.shape
+    n, d = plane[:3], plane[3]
+    slot = jnp.arange(S, dtype=jnp.int32)
+    m = slot[None, :] < n_vert[:, None]
+    dist = jnp.sum(poly * n, axis=-1) + d
+    nxt = jnp.where(slot[None, :] + 1 < n_vert[:, None], slot[None, :] + 1, 0)
+    v_next = jnp.take_along_axis(poly, nxt[:, :, None], axis=1)
+    d_next = jnp.take_along_axis(dist, nxt, axis=1)
+    kept = m & (dist <= tol)
+    cross = m & (
+        ((dist < -tol) & (d_next > tol)) | ((dist > tol) & (d_next < -tol))
+    )
+    denom = d_next - dist
+    safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+    p_cut = (poly * d_next[..., None] - v_next * dist[..., None]) / safe[..., None]
+
+    flags = jnp.stack([kept, cross], -1).reshape(T, 2 * S)
+    vals = jnp.stack([poly, p_cut], -2).reshape(T, 2 * S, 3)
+    tgt = jnp.cumsum(flags.astype(jnp.int32), -1) - flags.astype(jnp.int32)
+    n_out = jnp.minimum(jnp.sum(flags, -1).astype(jnp.int32), S)
+    row = jnp.arange(T, dtype=jnp.int32)[:, None]
+    flat = jnp.where(flags & (tgt < S), row * S + tgt, T * S)
+    out = (
+        jnp.zeros((T * S + 1, 3), poly.dtype)
+        .at[flat.reshape(-1)]
+        .set(vals.reshape(-1, 3), mode="drop")[: T * S]
+        .reshape(T, S, 3)
+    )
+    return out, jnp.where(n_out >= 3, n_out, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_out", "poly_slots", "tol"))
+def clip_trisoup(
+    corners: jax.Array,
+    tri_valid: jax.Array,
+    planes: jax.Array,
+    plane_mask: jax.Array,
+    max_out: int,
+    poly_slots: int = 8,
+    tol: float = 1e-6,
+):
+    """Clip a triangle soup by a convex plane list.
+
+    Args:
+      corners: (T, 3, 3) triangle corner positions; tri_valid: (T,);
+      planes: (K, 4); plane_mask: (K,); max_out: output triangle capacity.
+
+    Returns (out_corners (max_out, 3, 3), out_valid (max_out,), n_dropped).
+    """
+    T = corners.shape[0]
+    S = poly_slots
+    poly = jnp.zeros((T, S, 3), corners.dtype).at[:, :3].set(corners)
+    n_vert = jnp.where(tri_valid, 3, 0).astype(jnp.int32)
+
+    def body(carry, xs):
+        poly, n_vert = carry
+        plane, ok = xs
+        p2, n2 = _clip_polys_plane(poly, n_vert, plane, tol)
+        poly = jnp.where(ok, p2, poly)
+        n_vert = jnp.where(ok, n2, n_vert)
+        return (poly, n_vert), None
+
+    (poly, n_vert), _ = jax.lax.scan(body, (poly, n_vert), (planes, plane_mask))
+
+    # Fan re-triangulation: polygon with n verts → n-2 triangles.
+    fan = jnp.arange(S, dtype=jnp.int32)  # fan index k → tri (0, k+1, k+2)
+    fan_ok = (fan[None, :] + 2) < n_vert[:, None]            # (T, S)
+    i1 = jnp.minimum(fan + 1, S - 1)
+    i2 = jnp.minimum(fan + 2, S - 1)
+    tris = jnp.stack(
+        [
+            jnp.broadcast_to(poly[:, 0:1, :], (T, S, 3)),
+            poly[:, i1, :],
+            poly[:, i2, :],
+        ],
+        axis=2,
+    )                                                        # (T, S, 3, 3)
+    flat_ok = fan_ok.reshape(-1)
+    flat_tris = tris.reshape(-1, 3, 3)
+    tgt = jnp.cumsum(flat_ok.astype(jnp.int32)) - flat_ok.astype(jnp.int32)
+    total = jnp.sum(flat_ok)
+    out = (
+        jnp.zeros((max_out + 1, 3, 3), corners.dtype)
+        .at[jnp.where(flat_ok & (tgt < max_out), tgt, max_out)]
+        .set(flat_tris, mode="drop")[:max_out]
+    )
+    out_valid = jnp.arange(max_out) < total
+    dropped = jnp.maximum(total - max_out, 0)
+    return out, out_valid, dropped
+
+
+def point_in_mesh(points: jax.Array, corners: jax.Array, tri_valid: jax.Array):
+    """Ray-parity solid test: odd ray crossings ⇒ inside.
+
+    points: (P, 3); corners: (T, 3, 3). Returns (P,) bool. Watertight input
+    assumed (all reference models are closed — SURVEY §1 L2). The ray uses a
+    fixed *generic* direction so axis-aligned edges/diagonals (ubiquitous in
+    boxy models) are not hit exactly — an exact-edge hit double-counts and
+    flips the parity.
+    """
+    a, b, c = corners[:, 0], corners[:, 1], corners[:, 2]
+    # Möller–Trumbore along a generic fixed direction, batched (P, T).
+    d = jnp.array([0.8138294, 0.40996888, 0.41189286], corners.dtype)
+    e1 = b - a
+    e2 = c - a
+    pvec = jnp.cross(d, e2)                                  # (T, 3)
+    det = jnp.sum(e1 * pvec, axis=-1)                        # (T,)
+    ok = jnp.abs(det) > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tvec = points[:, None, :] - a[None]                      # (P, T, 3)
+    u = jnp.sum(tvec * pvec[None], -1) * inv[None]
+    qvec = jnp.cross(tvec, e1[None])                         # (P, T, 3)
+    v = jnp.sum(qvec * d, -1) * inv[None]
+    t = jnp.sum(qvec * e2[None], -1) * inv[None]
+    hit = (
+        ok[None]
+        & tri_valid[None]
+        & (u >= 0)
+        & (v >= 0)
+        & (u + v <= 1)
+        & (t > 1e-9)
+    )
+    return (jnp.sum(hit, axis=1) % 2) == 1
+
+
+def unique_corner_verts(corners: jax.Array, tri_valid: jax.Array):
+    """Flattened (possibly duplicated) corner pool: ((3T, 3), (3T,) mask).
+    Duplicates are harmless for supports / hull seeding."""
+    T = corners.shape[0]
+    return corners.reshape(3 * T, 3), jnp.repeat(tri_valid, 3)
