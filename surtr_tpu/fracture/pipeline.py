@@ -1,0 +1,572 @@
+"""The VMACH fracture pipeline, jitted end-to-end.
+
+Reference call stacks mirrored (SURVEY §3):
+  * ``prepare_fracture``  — PrepareFracture (/root/reference/Src/Surtr.cpp:1747-1827):
+    ICH → k-DOP → ACH, initial 64-cell Voronoi decomposition, pattern caching.
+  * ``do_fracture``       — DoFracture/ApplyFracture/MergeOutOfImpact/
+    HandleConvexIsland/Refitting (Surtr.cpp:1885-1958, 2098-2458).
+
+TPU redesign decisions (DESIGN.md):
+  * the per-cell thread-pool fan-out (m_fractureTask, Surtr.cpp:1457-1504)
+    becomes an (active-pieces × cells) 2-D vmap of the clip kernel;
+  * piece bookkeeping is flat & padded (PieceSet) with masked compaction
+    (top-volume keep on overflow — the analogue of the reference's silent
+    capacity caps, Surtr.h:267-268);
+  * HandleConvexIsland's O(F²) coplanar face-pair scan + recursive flood fill
+    (Surtr.cpp:2203-2366) becomes a batched coplanar-opposite-face test with
+    bounding-sphere overlap + iterative label propagation;
+  * visual-mesh caps come from the refit convex's cut faces (documented
+    divergence: exact for convex models, slight overshoot on concavities).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from surtr_tpu.config import FractureConfig
+from surtr_tpu.fracture.pattern import pattern_cells, radial_seeds, uniform_seeds
+from surtr_tpu.fracture.types import FractureContext, PieceSet
+from surtr_tpu.ops.clip import clip_poly_planes, clip_poly_poly
+from surtr_tpu.ops.hull import ich
+from surtr_tpu.ops.kdop import kdop_planes
+from surtr_tpu.ops.labels import adjacency_components
+from surtr_tpu.ops.mesh_clip import clip_trisoup, point_in_mesh
+from surtr_tpu.ops.moments import moments
+from surtr_tpu.types import ConvexPoly, scale_poly, translate_poly, unit_cube
+
+BIG = 3.4e38
+
+
+# ----------------------------------------------------------------------------
+# small helpers
+# ----------------------------------------------------------------------------
+
+
+def convex_out_of_sphere(
+    poly: ConvexPoly, cloud: jax.Array, center: jax.Array, radius
+) -> jax.Array:
+    """ConvexOutOfSphere (Surtr.cpp:2415-2458): a piece is outside the impact
+    sphere iff (a) none of its vertices lies within ``radius`` of the center
+    AND (b) none of the sphere-cloud points lies inside the convex."""
+    fv = poly.face_verts
+    sm = poly.slot_mask()
+    d2 = jnp.sum((fv - center) ** 2, axis=-1)
+    vert_inside = jnp.any(sm & (d2 < radius * radius), axis=(-1, -2))
+    # cloud-in-convex: n·p + d <= 0 for all valid faces
+    s = (
+        jnp.einsum(
+            "...fk,pk->...fp",
+            poly.planes[..., :3],
+            cloud,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + poly.planes[..., 3:]
+    )
+    ok = (s <= 0) | ~poly.face_mask()[..., None]
+    cloud_inside = jnp.any(jnp.all(ok, axis=-2), axis=-1) & ~poly.is_empty()
+    return ~vert_inside & ~cloud_inside & ~poly.is_empty()
+
+
+def _match_cut_faces(poly: ConvexPoly, cut_planes, cut_mask, scale, tol=1e-4):
+    """(F,) bool — faces of ``poly`` whose plane equals one of the cut planes
+    (cap faces carry the cut plane bitwise, so a loose tolerance suffices)."""
+    n = poly.planes[..., :3]
+    d = poly.planes[..., 3]
+    ndot = jnp.einsum(
+        "...fk,ck->...fc", n, cut_planes[:, :3],
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    dm = jnp.abs(d[..., None] - cut_planes[None, :, 3])
+    hit = (jnp.abs(ndot - 1.0) < tol) & (dm < tol * scale) & cut_mask[None, :]
+    return jnp.any(hit, axis=-1) & poly.face_mask()
+
+
+def cut_face_tris(poly: ConvexPoly, face_sel):
+    """Fan-triangulate selected faces → ((F*(S-2), 3, 3), mask).
+
+    Cap geometry for the visual mesh (the closure the reference gets from
+    polyhedron clipping, VMACH.cpp:699-813)."""
+    F, S = poly.F, poly.S
+    fv = poly.face_verts
+    fan = jnp.arange(S - 2, dtype=jnp.int32)
+    ok = (fan[None, :] + 2) < poly.n_verts[..., None]
+    ok = ok & face_sel[..., None]
+    i1 = fan + 1
+    i2 = fan + 2
+    tris = jnp.stack(
+        [
+            jnp.broadcast_to(fv[..., 0:1, :], fv[..., : S - 2, :].shape),
+            fv[..., i1, :],
+            fv[..., i2, :],
+        ],
+        axis=-2,
+    )  # (..., F, S-2, 3, 3)
+    return tris.reshape(tris.shape[:-4] + (F * (S - 2), 3, 3)), ok.reshape(
+        ok.shape[:-2] + (F * (S - 2),)
+    )
+
+
+def _append_tris(base, base_mask, extra, extra_mask):
+    """Pack extra triangles into the free tail of a padded triangle buffer."""
+    T = base.shape[-3]
+    n0 = jnp.sum(base_mask, axis=-1)
+    tgt = (
+        jnp.cumsum(extra_mask.astype(jnp.int32), axis=-1)
+        - extra_mask.astype(jnp.int32)
+        + n0[..., None]
+    )
+    ok = extra_mask & (tgt < T)
+    out = base
+    # flat scatter (single piece layout; callers vmap for batches)
+    idx = jnp.where(ok, tgt, T)
+    out = (
+        jnp.zeros((T + 1, 3, 3), base.dtype)
+        .at[:T]
+        .set(base)
+        .at[idx]
+        .set(extra, mode="drop")[:T]
+    )
+    out_mask = jnp.arange(T) < (n0 + jnp.sum(ok, axis=-1))
+    dropped = jnp.sum(extra_mask & ~ok)
+    return out, out_mask, dropped
+
+
+def refit_convex(
+    convex: ConvexPoly,
+    verts: jax.Array,
+    vmask: jax.Array,
+    limit: int,
+) -> ConvexPoly:
+    """Refitting (Surtr.cpp:2405-2413, task at :1449-1455): ICH(limit) of the
+    piece's mesh vertices → k-DOP along its face normals (no outward gap —
+    the Polyhedron Calc overload, Kdop.cpp:95-115) → clip the convex."""
+    h = ich(verts, vmask, limit=limit)
+    planes, pm = kdop_planes(verts, vmask, h["normals"], h["face_valid"], gap=0.0)
+    enough = jnp.sum(vmask) >= 4
+    out = clip_poly_planes(convex, planes, pm & enough)
+    return out
+
+
+# ----------------------------------------------------------------------------
+# prepare_fracture  (reference stack E)
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prepare_fracture(
+    verts: jax.Array,
+    vmask: jax.Array,
+    tri_corners: jax.Array,
+    tmask: jax.Array,
+    sphere_cloud: jax.Array,
+    key: jax.Array,
+    cfg: FractureConfig,
+):
+    """Initial decomposition of a loaded model into a single compound.
+
+    Returns (PieceSet, FractureContext, metrics dict).
+    """
+    F, S = cfg.max_faces, cfg.max_face_verts
+    C = cfg.initial_decompose_cell_cnt
+    P = cfg.max_pieces
+    Tp = cfg.max_piece_tris
+
+    # 1-2. ICH face normals (Surtr.cpp:1750-1755).
+    h = ich(verts, vmask, limit=cfg.ich_include_point_limit)
+
+    # 3. Bounding box (Surtr.cpp:1757-1772).
+    big = jnp.asarray(BIG, verts.dtype)
+    vm = vmask[:, None]
+    bb_min = jnp.min(jnp.where(vm, verts, big), axis=0)
+    bb_max = jnp.max(jnp.where(vm, verts, -big), axis=0)
+    bb_center = (bb_min + bb_max) * 0.5
+    extent = bb_max - bb_min
+    mas = jnp.max(extent)
+
+    # 4-6. ACH: 2×BB cube clipped by ICH-normal k-DOP slabs
+    # (gap = maxAxisScale / ACHPlaneGapInverse, Surtr.cpp:1775-1785).
+    planes, pm = kdop_planes(
+        verts, vmask, h["normals"], h["face_valid"],
+        gap=mas / cfg.ach_plane_gap_inverse,
+    )
+    ach = translate_poly(
+        scale_poly(unit_cube(F=F, S=S, dtype=verts.dtype), extent * 2.0),
+        bb_center,
+    )
+    ach = clip_poly_planes(ach, planes, pm)
+
+    # 8. Initial Voronoi cells scaled to the BB (Surtr.cpp:1798-1803).
+    k0, k1, k2 = jax.random.split(key, 3)
+    seeds = uniform_seeds(k0, C)
+    cells = pattern_cells(seeds, k=min(cfg.voronoi_neighbors, C - 1), F=F, S=S)
+    cells = translate_poly(scale_poly(cells, extent), bb_center)
+
+    # 9. Impact fracture patterns, cached in unit space (Surtr.cpp:1806-1807).
+    pp = pattern_cells(
+        radial_seeds(k1, cfg.partial_pattern_cell_cnt, cfg.partial_pattern_dist),
+        k=min(cfg.voronoi_neighbors, cfg.partial_pattern_cell_cnt - 1), F=F, S=S,
+    )
+    gp = pattern_cells(
+        radial_seeds(k2, cfg.general_pattern_cell_cnt, cfg.general_pattern_dist),
+        k=min(cfg.voronoi_neighbors, cfg.general_pattern_cell_cnt - 1), F=F, S=S,
+    )
+
+    ctx = FractureContext(
+        bb_center=bb_center,
+        bb_min=bb_min,
+        bb_max=bb_max,
+        max_axis_scale=mas,
+        partial_pattern=pp,
+        general_pattern=gp,
+        sphere_cloud=sphere_cloud,
+    )
+
+    # 10. Initial pieces: ACH ∩ cell, mesh ∩ cell (ApplyFracture on the
+    # single pre-compound, Surtr.cpp:1810-1811).
+    conv = jax.vmap(lambda cell: clip_poly_poly(ach, cell))(cells)
+
+    def mesh_one(cell):
+        return clip_trisoup(
+            tri_corners, tmask, cell.planes, cell.face_mask(), max_out=Tp
+        )
+
+    mtris, mmask, mdrop = jax.vmap(mesh_one)(cells)
+
+    out = _finish_pieces(
+        conv, mtris, mmask, cells, tri_corners, tmask, mas, cfg
+    )
+    conv, mtris, mmask, cand_valid = out
+
+    # Pack into the PieceSet pool (group 0 — one initial compound).
+    vol, _ = moments(conv)
+    pieces = _pack_candidates(
+        conv, mtris, mmask, cand_valid,
+        jnp.zeros((C,), jnp.int32), vol, P, Tp, F, S,
+    )
+
+    metrics = {
+        "ich_face_cnt": jnp.sum(h["face_valid"]),
+        "piece_cnt": jnp.sum(cand_valid),
+        "total_volume": jnp.sum(jnp.where(cand_valid, vol, 0.0)),
+        "mesh_tris_dropped": jnp.sum(mdrop),
+    }
+    return pieces, ctx, metrics
+
+
+def _finish_pieces(conv, mtris, mmask, cells, solid_corners, solid_mask, mas, cfg):
+    """Shared tail of both fracture entry points: occupancy test, refit,
+    cap generation. All inputs batched over candidates (leading axis)."""
+    F, S = cfg.max_faces, cfg.max_face_verts
+
+    # Occupancy: surface triangles present, or convex centroid inside the
+    # source solid (interior cells — the analogue of the reference's
+    # closed-polyhedron clip staying non-empty).
+    has_tris = jnp.any(mmask, axis=-1)
+    _, cent = moments(conv)
+    inside = point_in_mesh(cent, solid_corners, solid_mask)
+    cand_valid = ~conv.is_empty() & (has_tris | inside)
+
+    # Refit vertex pool: clipped surface corners + pre-refit cut-face verts.
+    def refit_one(cv, tris, tmask_, cell):
+        cut_sel = _match_cut_faces(cv, cell.planes, cell.face_mask(), mas)
+        cap_v = cv.face_verts.reshape(-1, 3)
+        cap_m = (cv.slot_mask() & cut_sel[:, None]).reshape(-1)
+        surf_v = tris.reshape(-1, 3)
+        surf_m = jnp.repeat(tmask_, 3)
+        pool = jnp.concatenate([surf_v, cap_v])
+        pool_m = jnp.concatenate([surf_m, cap_m])
+        refit = refit_convex(cv, pool, pool_m, cfg.refitting_point_limit)
+        # Caps from the refit convex's cut faces.
+        cut2 = _match_cut_faces(refit, cell.planes, cell.face_mask(), mas)
+        cap_tris, cap_mask = cut_face_tris(refit, cut2)
+        tris2, tmask2, _ = _append_tris(tris, tmask_, cap_tris, cap_mask)
+        return refit, tris2, tmask2
+
+    conv2, mtris2, mmask2 = jax.vmap(refit_one)(conv, mtris, mmask, cells)
+
+    # Invalidate empties.
+    nv = jnp.where(cand_valid[:, None], conv2.n_verts, 0)
+    conv2 = ConvexPoly(conv2.face_verts, nv, conv2.planes)
+    mmask2 = mmask2 & cand_valid[:, None]
+    return conv2, mtris2, mmask2, cand_valid
+
+
+def _pack_candidates(conv, mtris, mmask, valid, group, vol, P, Tp, F, S):
+    """Compact candidates into a fresh PieceSet of capacity P, keeping the
+    top-volume pieces on overflow."""
+    C = valid.shape[0]
+    score = jnp.where(valid, vol, -1.0)
+    order = jnp.argsort(-score)  # best first
+    take = order[: min(P, C)]
+    sel_valid = valid[take]
+    if C < P:
+        pad = P - C
+        sel_valid = jnp.concatenate([sel_valid, jnp.zeros((pad,), bool)])
+        take = jnp.concatenate([take, jnp.zeros((pad,), jnp.int32)])
+    gather = lambda a: a[take]
+    return PieceSet(
+        convex=ConvexPoly(
+            gather(conv.face_verts),
+            jnp.where(sel_valid[:, None], gather(conv.n_verts), 0),
+            gather(conv.planes),
+        ),
+        mesh=gather(mtris),
+        mesh_valid=gather(mmask) & sel_valid[:, None],
+        valid=sel_valid,
+        group=jnp.where(sel_valid, gather(group), -1),
+    )
+
+
+# ----------------------------------------------------------------------------
+# do_fracture  (reference stack D)
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "partial"))
+def do_fracture(
+    pieces: PieceSet,
+    ctx: FractureContext,
+    impact_pos: jax.Array,
+    target_group,
+    cfg: FractureConfig,
+    partial: bool = True,
+):
+    """Refracture one compound at an impact point. Returns (PieceSet, metrics).
+
+    partial=True uses the 128-cell impact-local pattern and leaves
+    out-of-sphere pieces attached to the parent compound (bind[0] semantics);
+    partial=False uses the 1024-cell general pattern on every piece.
+    """
+    F, S = cfg.max_faces, cfg.max_face_verts
+    A = cfg.max_active_pieces
+    P = cfg.max_pieces
+    Tp = cfg.max_piece_tris
+    mas = ctx.max_axis_scale
+    target_group = jnp.asarray(target_group, jnp.int32)
+
+    pattern = ctx.partial_pattern if partial else ctx.general_pattern
+    C = pattern.n_verts.shape[0]
+
+    # Scale pattern ×(2·maxAxisScale), translate to impact (Surtr.cpp:1887-96).
+    cells = translate_poly(scale_poly(pattern, 2.0 * mas), impact_pos)
+    cloud = ctx.sphere_cloud * cfg.impact_radius + impact_pos
+
+    in_target = pieces.valid & (pieces.group == target_group)
+    if partial:
+        outside = convex_out_of_sphere(
+            pieces.convex, cloud, impact_pos, cfg.impact_radius
+        )
+    else:
+        outside = jnp.zeros_like(pieces.valid)
+    active = in_target & ~outside
+
+    # Select up to A active pieces (largest first; overflow stays unfractured).
+    vol0, _ = moments(pieces.convex)
+    score = jnp.where(active, vol0, -1.0)
+    order = jnp.argsort(-score)
+    sel = order[:A]
+    sel_ok = active[sel]
+    active_overflow = jnp.maximum(jnp.sum(active) - A, 0)
+
+    selected = jnp.zeros((pieces.P,), bool).at[sel].set(sel_ok)
+
+    src_conv = jax.tree_util.tree_map(lambda a: a[sel], pieces.convex)
+    src_mesh = pieces.mesh[sel]
+    src_mmask = pieces.mesh_valid[sel] & sel_ok[:, None]
+
+    # --- ApplyFracture: A × C grid clip (Surtr.cpp:2129-2146).
+    def clip_row(cv, mesh, mmask_):
+        conv = jax.vmap(lambda cell: clip_poly_poly(cv, cell))(cells)
+
+        def mesh_one(cell):
+            return clip_trisoup(
+                mesh, mmask_, cell.planes, cell.face_mask(), max_out=Tp
+            )
+
+        mt, mm, md = jax.vmap(mesh_one)(cells)
+        return conv, mt, mm, md
+
+    conv, mtris, mmask, mdrop = jax.vmap(clip_row)(src_conv, src_mesh, src_mmask)
+
+    # Flatten the (A, C) grid → (A*C,) candidates.
+    N = A * C
+    flat = lambda a: a.reshape((N,) + a.shape[2:])
+    conv = jax.tree_util.tree_map(flat, conv)
+    mtris, mmask = flat(mtris), flat(mmask)
+    cell_of = jnp.tile(jnp.arange(C, dtype=jnp.int32), (A,))
+    src_of = jnp.repeat(jnp.arange(A, dtype=jnp.int32), C)
+    src_valid = jnp.repeat(sel_ok, C)
+    cells_flat = jax.tree_util.tree_map(lambda a: a[cell_of], cells)
+
+    # Occupancy / refit / caps against each candidate's *source piece* solid.
+    def finish_one(cv, mt, mm, cell, src_idx):
+        out = _finish_pieces(
+            jax.tree_util.tree_map(lambda a: a[None], cv),
+            mt[None],
+            mm[None],
+            jax.tree_util.tree_map(lambda a: a[None], cell),
+            src_mesh[src_idx],
+            src_mmask[src_idx],
+            mas,
+            cfg,
+        )
+        c2, t2, m2, v2 = out
+        return (
+            jax.tree_util.tree_map(lambda a: a[0], c2),
+            t2[0],
+            m2[0],
+            v2[0],
+        )
+
+    conv2, mtris2, mmask2, cand_valid = jax.vmap(finish_one)(
+        conv, mtris, mmask, cells_flat, src_of
+    )
+    cand_valid = cand_valid & src_valid
+
+    # --- MergeOutOfImpact (Surtr.cpp:2368-2403): partial-mode candidates
+    # fully outside the sphere rejoin the parent compound.
+    if partial:
+        cand_out = convex_out_of_sphere(
+            conv2, cloud, impact_pos, cfg.impact_radius
+        )
+    else:
+        cand_out = jnp.zeros((N,), bool)
+
+    # Provisional groups: parent group for merged candidates, else a fresh
+    # id per cell (bind-per-cell, Surtr.cpp:2139-2145).
+    gmax = jnp.max(jnp.where(pieces.valid, pieces.group, 0))
+    cand_group = jnp.where(
+        cand_out, target_group, gmax + 1 + cell_of
+    ).astype(jnp.int32)
+
+    # --- merge candidate pool with surviving original pieces, compact to P.
+    # Only the pieces actually fractured are consumed; active pieces beyond
+    # the top-A selection stay intact (counted in active_overflow).
+    keep_orig = pieces.valid & ~selected
+    vol_new, _ = moments(conv2)
+    all_conv = jax.tree_util.tree_map(
+        lambda a, b: jnp.concatenate([a, b]), pieces.convex, conv2
+    )
+    all_mesh = jnp.concatenate([pieces.mesh, mtris2])
+    all_mmask = jnp.concatenate(
+        [pieces.mesh_valid & keep_orig[:, None], mmask2]
+    )
+    all_valid = jnp.concatenate([keep_orig, cand_valid])
+    all_group = jnp.concatenate([pieces.group, cand_group])
+    all_vol = jnp.concatenate([jnp.where(keep_orig, vol0, -1.0), vol_new])
+
+    packed = _pack_candidates(
+        all_conv, all_mesh, all_mmask, all_valid, all_group, all_vol,
+        P, Tp, F, S,
+    )
+    piece_overflow = jnp.maximum(jnp.sum(all_valid) - P, 0)
+
+    # --- HandleConvexIsland (Surtr.cpp:2203-2366): split every compound into
+    # contact-connected components.
+    packed = split_groups_by_contact(packed, eps=1e-3 * mas)
+
+    metrics = {
+        "active_pieces": jnp.sum(active),
+        "active_overflow": active_overflow,
+        "new_pieces": jnp.sum(cand_valid),
+        "piece_overflow": piece_overflow,
+        "merged_out": jnp.sum(cand_out & cand_valid),
+        "total_volume": jnp.sum(jnp.where(packed.valid, moments(packed.convex)[0], 0.0)),
+        "mesh_tris_dropped": jnp.sum(mdrop),
+        "num_groups": packed.num_groups(),
+    }
+    return packed, metrics
+
+
+# ----------------------------------------------------------------------------
+# HandleConvexIsland
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=())
+def split_groups_by_contact(pieces: PieceSet, eps) -> PieceSet:
+    """Split every compound (group) into face-contact-connected components.
+
+    Contact test: a pair of pieces touches iff they own *opposite, coplanar*
+    faces (cut faces share planes bitwise) whose bounding spheres overlap —
+    the batched analogue of the reference's AbsD-sorted coplanar scan +
+    point-in-polygon check (Surtr.cpp:2240-2325; ours trades the exact 2-D
+    overlap for a sphere test, conservative toward keeping contact).
+    Components then relabel ``group`` (flood fill, Surtr.cpp:2325-2352).
+    """
+    P, F = pieces.P, pieces.convex.F
+    planes = pieces.convex.planes  # (P, F, 4)
+    fmask = pieces.convex.face_mask() & pieces.valid[:, None]
+
+    # Face centroids and radii.
+    sm = pieces.convex.slot_mask()[..., None]
+    nv = jnp.maximum(pieces.convex.n_verts, 1)[..., None]
+    cent = jnp.sum(jnp.where(sm, pieces.convex.face_verts, 0.0), axis=-2) / nv
+    r2 = jnp.max(
+        jnp.where(
+            sm[..., 0],
+            jnp.sum((pieces.convex.face_verts - cent[..., None, :]) ** 2, -1),
+            0.0,
+        ),
+        axis=-1,
+    )  # (P, F)
+
+    pf = P * F
+    n_flat = planes[..., :3].reshape(pf, 3)
+    d_flat = planes[..., 3].reshape(pf)
+    m_flat = fmask.reshape(pf)
+    c_flat = cent.reshape(pf, 3)
+    r_flat = jnp.sqrt(r2.reshape(pf))
+    owner = jnp.repeat(jnp.arange(P, dtype=jnp.int32), F)
+    group = pieces.group[owner]
+
+    ndot = jnp.einsum(
+        "ik,jk->ij", n_flat, n_flat, precision=jax.lax.Precision.HIGHEST
+    )
+    opposite = jnp.abs(ndot + 1.0) < 1e-4
+    coplanar = jnp.abs(d_flat[:, None] + d_flat[None, :]) < eps
+    cdist2 = jnp.sum((c_flat[:, None] - c_flat[None]) ** 2, axis=-1)
+    near = cdist2 <= (r_flat[:, None] + r_flat[None] + eps) ** 2
+    same_group = group[:, None] == group[None, :]
+    diff_piece = owner[:, None] != owner[None, :]
+    touch = (
+        opposite & coplanar & near & same_group & diff_piece
+        & m_flat[:, None] & m_flat[None, :]
+    )
+
+    # Face-level contact → piece-level adjacency.
+    adj = jnp.any(touch.reshape(P, F, P, F), axis=(1, 3))
+
+    comp = adjacency_components(adj, pieces.valid)  # (P,) min reachable index
+
+    # New group id: keep each component in its own compound; preserve the
+    # original group id of the component's representative for stability.
+    new_group = jnp.where(
+        pieces.valid,
+        pieces.group * P + jnp.where(comp < P, comp, 0),
+        -1,
+    )
+    # Dense renumber.
+    new_group = _dense_renumber(new_group, pieces.valid)
+    return PieceSet(
+        convex=pieces.convex,
+        mesh=pieces.mesh,
+        mesh_valid=pieces.mesh_valid,
+        valid=pieces.valid,
+        group=new_group,
+    )
+
+
+def _dense_renumber(group: jax.Array, valid: jax.Array) -> jax.Array:
+    """Relabel group ids to a dense 0..G-1 range (order-preserving)."""
+    P = group.shape[0]
+    key = jnp.where(valid, group, jnp.iinfo(jnp.int32).max)
+    order = jnp.argsort(key)
+    sorted_key = key[order]
+    first = (sorted_key != jnp.roll(sorted_key, 1)) | (jnp.arange(P) == 0)
+    rank_sorted = jnp.cumsum(first.astype(jnp.int32)) - 1
+    rank = jnp.zeros((P,), jnp.int32).at[order].set(rank_sorted)
+    return jnp.where(valid, rank, -1)
