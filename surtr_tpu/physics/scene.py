@@ -1,0 +1,150 @@
+"""Physics scene construction from fracture output.
+
+Mirrors the reference's InitCompound (/root/reference/Src/Surtr.cpp:2499-2529):
+each compound (bind group) becomes one rigid dynamic body whose shapes are its
+pieces' convexes ("exclusive convex shapes on one new PxRigidDynamic"), with
+mass/inertia from geometry at density 10 (updateMassAndInertia(10.0),
+Surtr.cpp:2520). Piece hulls are stored in body frame (COM at origin).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from surtr_tpu.config import PhysicsConfig
+from surtr_tpu.fracture.types import PieceSet
+from surtr_tpu.ops.moments import inertia
+from surtr_tpu.types import RigidState
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PhysicsScene:
+    """bodies: (B,) rigid states; pieces: (Np,) convex shapes owned by bodies.
+
+    piece_verts are deduplicated hull corner pools in body frame; piece_planes
+    are body-frame face planes (used for SAT axes and scene queries).
+    """
+
+    bodies: RigidState
+    piece_owner: jax.Array   # (Np,) i32 body index (or -1)
+    piece_valid: jax.Array   # (Np,) bool
+    piece_verts: jax.Array   # (Np, Vh, 3) body-frame hull verts
+    piece_vmask: jax.Array   # (Np, Vh) bool
+    piece_planes: jax.Array  # (Np, F, 4) body-frame planes
+    piece_pmask: jax.Array   # (Np, F) bool
+
+    @property
+    def B(self) -> int:
+        return self.bodies.N
+
+    @property
+    def Np(self) -> int:
+        return self.piece_owner.shape[-1]
+
+
+def _dedup_verts(fv: jax.Array, sm: jax.Array, Vh: int):
+    """(F, S, 3) face soup → (Vh, 3) first-occurrence unique corner pool.
+
+    Exact-duplicate removal (positions are bitwise-shared across faces)."""
+    pts = fv.reshape(-1, 3)
+    m = sm.reshape(-1)
+    n = pts.shape[0]
+    eq = jnp.all(pts[:, None] == pts[None], axis=-1) & m[None, :] & m[:, None]
+    idx = jnp.arange(n)
+    first = jnp.min(jnp.where(eq, idx[None, :], n), axis=1)
+    is_first = m & (first == idx)
+    tgt = jnp.cumsum(is_first.astype(jnp.int32)) - is_first.astype(jnp.int32)
+    out = (
+        jnp.zeros((Vh + 1, 3), fv.dtype)
+        .at[jnp.where(is_first & (tgt < Vh), tgt, Vh)]
+        .set(pts, mode="drop")[:Vh]
+    )
+    cnt = jnp.minimum(jnp.sum(is_first), Vh)
+    return out, jnp.arange(Vh) < cnt
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "max_bodies"))
+def build_scene(
+    pieces: PieceSet, cfg: PhysicsConfig, max_bodies: int | None = None
+) -> PhysicsScene:
+    """Create rigid bodies from piece groups (InitCompound semantics).
+
+    New bodies start at rest — the reference transfers no velocity to
+    fragments (createRigidDynamic with pose only, Surtr.cpp:2507).
+    """
+    P = pieces.P
+    B = max_bodies if max_bodies is not None else P
+    Vh = cfg.max_hull_verts
+
+    mass_p, com_p, I_p = inertia(pieces.convex, density=cfg.density)
+    mass_p = jnp.where(pieces.valid, mass_p, 0.0)
+    gid = jnp.where(pieces.valid, pieces.group, B)  # invalid → dump row B
+
+    # Aggregate per group: total mass, COM.
+    seg = lambda x: jax.ops.segment_sum(x, gid, num_segments=B + 1)[:B]
+    m_b = seg(mass_p)
+    com_b = seg(com_p * mass_p[:, None]) / jnp.maximum(m_b, 1e-12)[:, None]
+
+    # Inertia about the body COM (parallel axis per piece).
+    d = com_p - com_b[jnp.clip(gid, 0, B - 1)]
+    d2 = jnp.sum(d * d, axis=-1)
+    eye = jnp.eye(3)
+    shift = mass_p[:, None, None] * (
+        d2[:, None, None] * eye - d[:, :, None] * d[:, None, :]
+    )
+    I_b = seg(I_p + shift)
+    body_valid = m_b > 0
+
+    inv_m = jnp.where(body_valid, 1.0 / jnp.maximum(m_b, 1e-12), 0.0)
+    # Robust inverse for (possibly singular) padded rows.
+    I_safe = jnp.where(body_valid[:, None, None], I_b, eye)
+    inv_I = jnp.linalg.inv(I_safe + 1e-9 * eye)
+    inv_I = jnp.where(body_valid[:, None, None], inv_I, 0.0)
+
+    bodies = RigidState(
+        x=com_b,
+        q=jnp.zeros((B, 4)).at[:, 0].set(1.0),
+        v=jnp.zeros((B, 3)),
+        w=jnp.zeros((B, 3)),
+        inv_mass=inv_m,
+        inv_inertia_body=inv_I,
+        active=body_valid,
+    )
+
+    # Piece hulls in body frame.
+    shift_p = com_b[jnp.clip(gid, 0, B - 1)]
+    fv_local = pieces.convex.face_verts - shift_p[:, None, None, :]
+    verts, vmask = jax.vmap(lambda fv, sm: _dedup_verts(fv, sm, Vh))(
+        fv_local, pieces.convex.slot_mask()
+    )
+    n = pieces.convex.planes[..., :3]
+    dpl = pieces.convex.planes[..., 3:4] + jnp.sum(
+        n * shift_p[:, None, :], axis=-1, keepdims=True
+    )
+    planes_local = jnp.concatenate([n, dpl], axis=-1)
+
+    return PhysicsScene(
+        bodies=bodies,
+        piece_owner=jnp.where(pieces.valid, pieces.group, -1).astype(jnp.int32),
+        piece_valid=pieces.valid,
+        piece_verts=jnp.where(vmask[..., None], verts, 0.0),
+        piece_vmask=vmask & pieces.valid[:, None],
+        piece_planes=planes_local,
+        piece_pmask=pieces.convex.face_mask() & pieces.valid[:, None],
+    )
+
+
+def piece_world_verts(scene: PhysicsScene):
+    """World-space hull verts per piece: ((Np, Vh, 3), mask)."""
+    from surtr_tpu.physics.rigid import quat_to_mat
+
+    owner = jnp.clip(scene.piece_owner, 0, scene.B - 1)
+    R = quat_to_mat(scene.bodies.q)[owner]            # (Np, 3, 3)
+    x = scene.bodies.x[owner]
+    w = jnp.einsum("pij,pvj->pvi", R, scene.piece_verts) + x[:, None]
+    return w, scene.piece_vmask

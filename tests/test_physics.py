@@ -1,0 +1,127 @@
+"""Physics tests (SURVEY §4: free fall vs closed form, rest stability,
+energy behavior, determinism, queries)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surtr_tpu.config import PhysicsConfig
+from surtr_tpu.fracture.types import PieceSet
+from surtr_tpu.physics.queries import raycast, sphere_overlap
+from surtr_tpu.physics.scene import build_scene, piece_world_verts
+from surtr_tpu.physics.step import physics_step
+from surtr_tpu.types import translate_poly, unit_cube
+
+PCFG = PhysicsConfig(broadphase_block=64)
+
+
+def make_pieces(offsets, groups):
+    polys = [
+        translate_poly(unit_cube(), jnp.asarray(o, jnp.float32)) for o in offsets
+    ]
+    conv = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *polys)
+    P = len(offsets)
+    return PieceSet(
+        conv,
+        jnp.zeros((P, 4, 3, 3)),
+        jnp.zeros((P, 4), bool),
+        jnp.ones((P,), bool),
+        jnp.asarray(groups, jnp.int32),
+    )
+
+
+def run(s, n):
+    step = jax.jit(lambda s: physics_step(s, PCFG))
+    for _ in range(n):
+        s = step(s)
+    return s
+
+
+def test_mass_and_inertia_density_10():
+    s = build_scene(make_pieces([[0, 5, 0]], [0]), PCFG)
+    assert np.isclose(1.0 / float(s.bodies.inv_mass[0]), 10.0, rtol=1e-4)
+    # unit cube inertia m/6 on the diagonal
+    inv_I = np.asarray(s.bodies.inv_inertia_body[0])
+    assert np.allclose(np.diag(inv_I), 6.0 / 10.0, rtol=1e-3)
+
+
+def test_free_fall_matches_symplectic_closed_form():
+    s = build_scene(make_pieces([[0, 5, 0]], [0]), PCFG)
+    n = 60
+    s = run(s, n)
+    dt = PCFG.dt
+    y = 5 + PCFG.gravity * dt * dt * n * (n + 1) / 2
+    assert np.isclose(float(s.bodies.x[0, 1]), y, atol=1e-3)
+    assert np.isclose(float(s.bodies.v[0, 1]), PCFG.gravity * dt * n, atol=1e-3)
+
+
+def test_rest_on_ground():
+    s = build_scene(make_pieces([[0, -1.49, 0]], [0]), PCFG)
+    s = run(s, 240)
+    assert abs(float(s.bodies.x[0, 1]) + 1.5) < 0.02
+    assert abs(float(s.bodies.v[0, 1])) < 0.01
+
+
+def test_two_body_stack_remains_stacked():
+    s = build_scene(make_pieces([[0, -1.45, 0], [0, -0.4, 0]], [0, 1]), PCFG)
+    s = run(s, 360)
+    ys = np.asarray(s.bodies.x[:2, 1])
+    assert abs(ys[0] + 1.5) < 0.05
+    assert abs(ys[1] + 0.5) < 0.1
+
+
+def test_compound_of_two_pieces_moves_rigidly():
+    s = build_scene(
+        make_pieces([[0, 5, 0], [1, 5, 0]], [0, 0]), PCFG
+    )  # one body, two pieces
+    assert int(s.bodies.active.sum()) == 1
+    assert np.isclose(1.0 / float(s.bodies.inv_mass[0]), 20.0, rtol=1e-4)
+    s = run(s, 30)
+    wv, wm = piece_world_verts(s)
+    # pieces keep their relative offset
+    c0 = np.asarray(wv[0][np.asarray(wm[0])]).mean(0)
+    c1 = np.asarray(wv[1][np.asarray(wm[1])]).mean(0)
+    assert np.allclose(c1 - c0, [1, 0, 0], atol=1e-4)
+
+
+def test_determinism():
+    s1 = run(build_scene(make_pieces([[0, 0, 0], [0.2, 1.2, 0]], [0, 1]), PCFG), 120)
+    s2 = run(build_scene(make_pieces([[0, 0, 0], [0.2, 1.2, 0]], [0, 1]), PCFG), 120)
+    assert np.array_equal(np.asarray(s1.bodies.x), np.asarray(s2.bodies.x))
+
+
+def test_energy_non_increasing_after_settle():
+    s = build_scene(make_pieces([[0, 0, 0]], [0]), PCFG)
+    step = jax.jit(lambda s: physics_step(s, PCFG))
+    energies = []
+    for _ in range(300):
+        s = step(s)
+        v = float(jnp.sum(s.bodies.v[0] ** 2))
+        y = float(s.bodies.x[0, 1])
+        energies.append(0.5 * v + 9.81 * (y + 2.0))
+    # After settling, total energy stays below the initial drop energy.
+    assert energies[-1] < energies[0] * 0.5
+
+
+def test_raycast_and_sphere_overlap():
+    s = build_scene(make_pieces([[0, 0, 0], [3, 0, 0]], [0, 1]), PCFG)
+    idx, t = raycast(
+        s, jnp.array([-5.0, 0.0, 0.0]), jnp.array([1.0, 0.0, 0.0])
+    )
+    assert int(idx) == 0
+    assert np.isclose(float(t), 4.5, atol=1e-4)
+    idx2, t2 = raycast(
+        s, jnp.array([5.0, 0.0, 0.0]), jnp.array([-1.0, 0.0, 0.0])
+    )
+    assert int(idx2) == 1
+    assert np.isclose(float(t2), 1.5, atol=1e-4)
+    miss, _ = raycast(s, jnp.array([0.0, 5.0, 0.0]), jnp.array([1.0, 0.0, 0.0]))
+    assert int(miss) == -1
+    ov = sphere_overlap(s, jnp.array([0.0, 0.0, 0.0]), 1.0)
+    assert ov.tolist() == [True, False]
+    # (1.5,0,0) r=1.2 reaches cube 0's +x face (1.0 away) AND cube 1's -x
+    # face at x=2.5 (also 1.0 away).
+    ov2 = sphere_overlap(s, jnp.array([1.5, 0.0, 0.0]), 1.2)
+    assert ov2.tolist() == [True, True]
+    ov3 = sphere_overlap(s, jnp.array([1.5, 0.0, 0.0]), 0.9)
+    assert ov3.tolist() == [False, False]
