@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness — BASELINE.json configs on the current JAX backend.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <value/10ms>, ...}
+
+The headline metric is the north star from BASELINE.json: one 1k-seed
+fracture decomposition plus one 10k-fragment physics step, in ms (target
+< 10 ms on a TPU v5e chip). Extra keys carry the per-config numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, *args, warmup=2, iters=5):
+    """Median wall-clock ms of a blocking call."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(ts))
+
+
+def bench_decomposition_1k(cfg_overrides=None):
+    """Config 2 core: 1k-seed Voronoi fracture decomposition of a mesh."""
+    from surtr_tpu.config import FractureConfig
+    from surtr_tpu.fracture.pipeline import prepare_fracture
+    from surtr_tpu.io.models import get_model, sphere_point_cloud
+
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=1024,
+        max_pieces=1024,
+        max_faces=32,
+        max_face_verts=16,
+        max_piece_tris=64,
+        voronoi_neighbors=48,
+        partial_pattern_cell_cnt=8,   # pattern caching excluded from timing
+        general_pattern_cell_cnt=8,
+    )
+    v, f = get_model("cube")
+    verts = jnp.asarray(v)
+    corners = jnp.asarray(v[f])
+    vm = jnp.ones(len(v), bool)
+    tm = jnp.ones(len(f), bool)
+    cloud = jnp.asarray(sphere_point_cloud())
+    key = jax.random.PRNGKey(46354)
+
+    def run(key):
+        pieces, ctx, met = prepare_fracture(verts, vm, corners, tm, cloud, key, cfg)
+        return pieces.valid, met["total_volume"]
+
+    ms = timeit(run, key)
+    valid, vol = run(key)
+    return ms, int(jax.device_get(valid).sum()), float(vol)
+
+
+def bench_physics_10k(n=10_000):
+    """Config 3: 10k-fragment physics step with contacts + impulses."""
+    from surtr_tpu.config import PhysicsConfig
+    from surtr_tpu.fracture.types import PieceSet
+    from surtr_tpu.physics.scene import build_scene
+    from surtr_tpu.physics.step import physics_step
+    from surtr_tpu.types import translate_poly, unit_cube
+
+    pcfg = PhysicsConfig()
+    # A settled-pile-like lattice of unit-cube fragments (dense contacts).
+    side = int(round(n ** (1 / 3)))
+    while side * side * side < n:
+        side += 1
+    idx = np.arange(side**3)[:n]
+    xs = np.stack(
+        [idx % side, (idx // side) % side, idx // (side * side)], axis=1
+    ).astype(np.float32)
+    offsets = xs * 1.02 + np.array([-side / 2, -1.45 + 0.0, -side / 2])
+
+    cube = unit_cube(F=8, S=8)
+    conv = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), cube
+    )
+    conv = translate_poly(conv, jnp.zeros(3))
+    fv = conv.face_verts + jnp.asarray(offsets)[:, None, None, :]
+    d = conv.planes[..., 3:4] - jnp.sum(
+        conv.planes[..., :3] * jnp.asarray(offsets)[:, None, :], -1, keepdims=True
+    )
+    from surtr_tpu.types import ConvexPoly
+
+    conv = ConvexPoly(fv, conv.n_verts, jnp.concatenate([conv.planes[..., :3], d], -1))
+    pieces = PieceSet(
+        convex=conv,
+        mesh=jnp.zeros((n, 1, 3, 3)),
+        mesh_valid=jnp.zeros((n, 1), bool),
+        valid=jnp.ones((n,), bool),
+        group=jnp.arange(n, dtype=jnp.int32),
+        tag=jnp.full((n,), -1, jnp.int32),
+    )
+    scene = build_scene(pieces, pcfg, max_bodies=n)
+    step = jax.jit(lambda s: physics_step(s, pcfg))
+    ms = timeit(step, scene, warmup=3, iters=10)
+    return ms
+
+
+def bench_cube32():
+    """Config 0: cube, 32 seeds, single impact event (end-to-end)."""
+    from surtr_tpu.config import FractureConfig
+    from surtr_tpu.fracture.pipeline import do_fracture, prepare_fracture
+    from surtr_tpu.io.models import get_model, sphere_point_cloud
+
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=32,
+        max_pieces=256,
+        max_active_pieces=16,
+        max_piece_tris=128,
+        partial_pattern_cell_cnt=128,
+        voronoi_neighbors=48,
+        general_pattern_cell_cnt=8,
+    )
+    v, f = get_model("cube")
+    cloud = jnp.asarray(sphere_point_cloud())
+    pieces, ctx, _ = prepare_fracture(
+        jnp.asarray(v), jnp.ones(len(v), bool), jnp.asarray(v[f]),
+        jnp.ones(len(f), bool), cloud, jax.random.PRNGKey(46354), cfg,
+    )
+    impact = jnp.array([1.5, 1.5, 1.5])
+
+    def run(p):
+        out, met = do_fracture(p, ctx, impact, 0, cfg, partial=True)
+        return out.valid
+
+    ms = timeit(run, pieces)
+    return ms
+
+
+def main():
+    backend = jax.default_backend()
+    t0 = time.time()
+    decomp_ms, n_pieces, vol = bench_decomposition_1k()
+    phys_ms = bench_physics_10k()
+    cube_ms = bench_cube32()
+    total = decomp_ms + phys_ms
+    out = {
+        "metric": "1k-seed fracture decomposition + 10k-fragment physics step",
+        "value": round(total, 3),
+        "unit": "ms",
+        "vs_baseline": round(total / 10.0, 4),
+        "decomposition_1k_ms": round(decomp_ms, 3),
+        "physics_10k_ms": round(phys_ms, 3),
+        "cube32_impact_ms": round(cube_ms, 3),
+        "decomp_pieces": n_pieces,
+        "backend": backend,
+        "bench_wall_s": round(time.time() - t0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

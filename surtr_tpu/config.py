@@ -88,7 +88,7 @@ class RenderConfig:
     z_far: float = 500.0
     tile: int = 16                 # raster tile edge (pixels)
     tris_per_tile: int = 256       # binning capacity per tile
-    depth_bias: float = 2e-3       # shadow-depth bias (reference PSO bias 100000)
+    depth_bias: float = 4e-3       # shadow-depth bias (reference PSO bias 100000)
 
 
 @dataclasses.dataclass(frozen=True)

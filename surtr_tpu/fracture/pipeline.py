@@ -244,7 +244,8 @@ def prepare_fracture(
     vol, _ = moments(conv)
     pieces = _pack_candidates(
         conv, mtris, mmask, cand_valid,
-        jnp.zeros((C,), jnp.int32), vol, P, Tp, F, S,
+        jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
+        vol, P, Tp, F, S,
     )
 
     metrics = {
@@ -294,7 +295,7 @@ def _finish_pieces(conv, mtris, mmask, cells, solid_corners, solid_mask, mas, cf
     return conv2, mtris2, mmask2, cand_valid
 
 
-def _pack_candidates(conv, mtris, mmask, valid, group, vol, P, Tp, F, S):
+def _pack_candidates(conv, mtris, mmask, valid, group, tag, vol, P, Tp, F, S):
     """Compact candidates into a fresh PieceSet of capacity P, keeping the
     top-volume pieces on overflow."""
     C = valid.shape[0]
@@ -317,6 +318,7 @@ def _pack_candidates(conv, mtris, mmask, valid, group, vol, P, Tp, F, S):
         mesh_valid=gather(mmask) & sel_valid[:, None],
         valid=sel_valid,
         group=jnp.where(sel_valid, gather(group), -1),
+        tag=jnp.where(sel_valid, gather(tag), -1),
     )
 
 
@@ -456,10 +458,13 @@ def do_fracture(
     )
     all_valid = jnp.concatenate([keep_orig, cand_valid])
     all_group = jnp.concatenate([pieces.group, cand_group])
+    all_tag = jnp.concatenate(
+        [pieces.tag, jnp.full((N,), -1, jnp.int32)]
+    )
     all_vol = jnp.concatenate([jnp.where(keep_orig, vol0, -1.0), vol_new])
 
     packed = _pack_candidates(
-        all_conv, all_mesh, all_mmask, all_valid, all_group, all_vol,
+        all_conv, all_mesh, all_mmask, all_valid, all_group, all_tag, all_vol,
         P, Tp, F, S,
     )
     piece_overflow = jnp.maximum(jnp.sum(all_valid) - P, 0)
@@ -557,6 +562,7 @@ def split_groups_by_contact(pieces: PieceSet, eps) -> PieceSet:
         mesh_valid=pieces.mesh_valid,
         valid=pieces.valid,
         group=new_group,
+        tag=pieces.tag,
     )
 
 

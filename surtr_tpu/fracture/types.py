@@ -27,6 +27,11 @@ class PieceSet:
     valid:      (P,) bool — slot occupancy.
     group:      (P,) i32 — compound id (>= 0); pieces of the same group move
                 as one rigid body.
+    tag:        (P,) i32 — caller payload riding through fracture/compaction
+                (the scene layer stores the owning body id here so untouched
+                compounds keep their velocities across a fracture event;
+                freshly cut fragments carry -1 = spawn at rest, matching the
+                reference's velocity-free actor creation, Surtr.cpp:2507).
     """
 
     convex: ConvexPoly
@@ -34,6 +39,7 @@ class PieceSet:
     mesh_valid: jax.Array
     valid: jax.Array
     group: jax.Array
+    tag: jax.Array
 
     @property
     def P(self) -> int:
@@ -63,6 +69,7 @@ def empty_piece_set(P: int, T: int, F: int, S: int, dtype=jnp.float32) -> PieceS
         mesh_valid=jnp.zeros((P, T), bool),
         valid=jnp.zeros((P,), bool),
         group=jnp.full((P,), -1, jnp.int32),
+        tag=jnp.full((P,), -1, jnp.int32),
     )
 
 

@@ -1,0 +1,306 @@
+"""The scene API — the framework's user surface, mirroring the reference app's
+flow (SURVEY §3): load a model → prepare the initial compound → step physics
+at a fixed 1/120 s → fire impacts that refracture compounds → read fragments
+and trajectories (→ render, surtr_tpu.render).
+
+Host-side orchestration only; every hot operation is a jitted device call.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surtr_tpu.config import SceneConfig
+from surtr_tpu.fracture.pipeline import do_fracture, prepare_fracture
+from surtr_tpu.fracture.types import FractureContext, PieceSet
+from surtr_tpu.io.models import get_model, sphere_point_cloud
+from surtr_tpu.physics.queries import raycast, sphere_overlap
+from surtr_tpu.physics.rigid import quat_to_mat
+from surtr_tpu.physics.scene import PhysicsScene, build_scene
+from surtr_tpu.physics.step import physics_step
+from surtr_tpu.types import ConvexPoly
+
+
+@jax.jit
+def _bake_pieces(pieces: PieceSet, phys: PhysicsScene, x0: jax.Array) -> PieceSet:
+    """Apply each piece's current rigid transform to its stored geometry —
+    the analogue of baking world matrices before fracture
+    (ExecuteFractureRoutine, Surtr.cpp:1846-1851).
+
+    Stored geometry is in the world frame of the last rebuild; the current
+    transform is p ↦ R_b (p − x0_b) + x_b.
+    """
+    B = phys.B
+    owner = jnp.clip(jnp.where(pieces.valid, pieces.group, 0), 0, B - 1)
+    R = quat_to_mat(phys.bodies.q)[owner]                     # (P, 3, 3)
+    t = phys.bodies.x[owner] - jnp.einsum(
+        "pij,pj->pi", R, x0[owner]
+    )
+    fv = (
+        jnp.einsum("pij,pfsj->pfsi", R, pieces.convex.face_verts)
+        + t[:, None, None, :]
+    )
+    n = jnp.einsum("pij,pfj->pfi", R, pieces.convex.planes[..., :3])
+    d = pieces.convex.planes[..., 3:4] - jnp.sum(
+        n * t[:, None, :], axis=-1, keepdims=True
+    )
+    mesh = (
+        jnp.einsum("pij,ptcj->ptci", R, pieces.mesh) + t[:, None, None, :]
+    )
+    return PieceSet(
+        convex=ConvexPoly(fv, pieces.convex.n_verts, jnp.concatenate([n, d], -1)),
+        mesh=mesh,
+        mesh_valid=pieces.mesh_valid,
+        valid=pieces.valid,
+        group=pieces.group,
+        tag=pieces.tag,
+    )
+
+
+class Scene:
+    """One simulated world: compounds of convex pieces + rigid dynamics.
+
+    Example:
+        sc = Scene("cube")
+        sc.step(120)                       # 1 second at 1/120
+        sc.fire_impact((0, 10, 0), (0, -1, 0))
+        frames = sc.positions()
+    """
+
+    def __init__(
+        self,
+        model: str | tuple = "cube",
+        config: SceneConfig | None = None,
+        spawn: Sequence[float] = (0.0, 5.0, 0.0),
+        seed: int | None = None,
+    ):
+        self.cfg = config or SceneConfig()
+        fcfg = self.cfg.fracture
+        if isinstance(model, str):
+            verts, tris = get_model(model)
+        else:
+            verts, tris = model
+        verts = np.asarray(verts, np.float32) + np.asarray(spawn, np.float32)
+        self.key = jax.random.PRNGKey(seed if seed is not None else fcfg.seed)
+
+        corners = jnp.asarray(verts[tris])
+        self.pieces, self.ctx, self.prepare_metrics = prepare_fracture(
+            jnp.asarray(verts),
+            jnp.ones(len(verts), bool),
+            corners,
+            jnp.ones(len(tris), bool),
+            jnp.asarray(sphere_point_cloud()),
+            self.key,
+            fcfg,
+        )
+        self._rebuild(old_phys=None)
+        self.time = 0.0
+        self.events = []
+
+    # ------------------------------------------------------------------
+    def _rebuild(self, old_phys: PhysicsScene | None):
+        """(Re)create rigid bodies from pieces; transfer velocities via tags
+        (untouched compounds keep momentum; new fragments spawn at rest)."""
+        phys = build_scene(self.pieces, self.cfg.physics)
+        if old_phys is not None:
+            phys = _transfer_velocities(
+                phys, old_phys, self.pieces.group, self.pieces.tag,
+                self.pieces.valid,
+            )
+        self.phys = phys
+        self._x0 = phys.bodies.x
+
+    def step(self, n: int = 1):
+        for _ in range(n):
+            self.phys = physics_step(self.phys, self.cfg.physics)
+        self.time += n * self.cfg.physics.dt
+        return self
+
+    # ------------------------------------------------------------------
+    def world_pieces(self) -> PieceSet:
+        """Pieces baked to current world coordinates."""
+        return _bake_pieces(self.pieces, self.phys, self._x0)
+
+    def positions(self) -> np.ndarray:
+        return np.asarray(self.phys.bodies.x)
+
+    def num_bodies(self) -> int:
+        return int(self.phys.bodies.active.sum())
+
+    def num_pieces(self) -> int:
+        return int(self.pieces.valid.sum())
+
+    def total_volume(self) -> float:
+        from surtr_tpu.ops.moments import moments
+
+        v, _ = moments(self.pieces.convex)
+        return float(jnp.where(self.pieces.valid, v, 0).sum())
+
+    # ------------------------------------------------------------------
+    def render(self, eye=(8.0, 6.0, 8.0), target=(0.0, 1.0, 0.0),
+               light_dir=(-0.4, -1.0, -0.3)):
+        """Shadow-mapped frame of the current state (reference render passes,
+        Surtr.cpp:370-664). Returns (H, W, 3) float image."""
+        from surtr_tpu.render.camera import light_view_proj, look_at, perspective
+        from surtr_tpu.render.raster import render_scene
+
+        rcfg = self.cfg.render
+        baked = self.world_pieces()
+        P, T = baked.P, baked.T
+        tris = baked.mesh.reshape(P * T, 3, 3)
+        tvalid = baked.mesh_valid.reshape(P * T)
+        # Ground plane (reference ground at y=-2, Surtr.cpp:1523-1528),
+        # tessellated 8×8 — the rasterizer culls triangles with any vertex
+        # behind the camera (no near-plane clipping), so one huge quad would
+        # vanish whenever a corner is behind the eye.
+        gy = self.cfg.physics.ground_y
+        g, n = 48.0, 8
+        xs = np.linspace(-g, g, n + 1)
+        quads = []
+        for i in range(n):
+            for j in range(n):
+                x0, x1, z0, z1 = xs[i], xs[i + 1], xs[j], xs[j + 1]
+                quads.append([[x0, gy, z0], [x0, gy, z1], [x1, gy, z1]])
+                quads.append([[x0, gy, z0], [x1, gy, z1], [x1, gy, z0]])
+        ground = jnp.asarray(np.asarray(quads, np.float32))
+        ng = ground.shape[0]
+        tris = jnp.concatenate([tris, ground])
+        tvalid = jnp.concatenate([tvalid, jnp.ones(ng, bool)])
+        # Per-piece pseudo-random stone tint (reference default 0.25 gray).
+        pid = jnp.repeat(jnp.arange(P, dtype=jnp.uint32), T)
+        h = (pid * jnp.uint32(2654435761)) >> jnp.uint32(24)
+        tint = 0.38 + (h.astype(jnp.float32) / 255.0) * 0.22
+        colors = jnp.stack([tint, tint, tint], axis=-1)
+        gcol = jnp.full((ng, 3), 0.45, jnp.float32)
+        colors = jnp.concatenate([colors, gcol])
+
+        view = look_at(eye, target)
+        proj = perspective(rcfg.fov_deg, rcfg.width / rcfg.height,
+                           rcfg.z_near, rcfg.z_far)
+        lvp = light_view_proj(light_dir, (0.0, 1.0, 0.0), 14.0)
+        img, depth = render_scene(
+            tris, tvalid, colors, proj @ view, lvp,
+            jnp.asarray(light_dir, jnp.float32),
+            W=rcfg.width, H=rcfg.height, shadow_size=rcfg.shadow_size,
+            cfg=rcfg,
+        )
+        return img
+
+    # ------------------------------------------------------------------
+    def fire_impact(self, origin, direction, partial: bool | None = None):
+        """Raycast into the scene and fracture what it hits (OnMouseDown →
+        ExecuteFractureRoutine, Surtr.cpp:178-254).
+
+        Returns a metrics dict (empty if the ray misses)."""
+        fcfg = self.cfg.fracture
+        origin = jnp.asarray(origin, jnp.float32)
+        direction = jnp.asarray(direction, jnp.float32)
+        direction = direction / jnp.linalg.norm(direction)
+        pidx, t = raycast(self.phys, origin, direction)
+        if int(pidx) < 0:
+            return {}
+        impact = origin + direction * (t + fcfg.target_adder)
+
+        if fcfg.radial_mode:
+            ov = sphere_overlap(self.phys, impact, fcfg.impact_radius / 2.0)
+            targets = np.unique(
+                np.asarray(self.phys.piece_owner)[np.asarray(ov)]
+            ).tolist()
+        else:
+            targets = [int(self.phys.piece_owner[int(pidx)])]
+        # Only dynamic bodies (mass filter, Surtr.cpp:226-233).
+        targets = [
+            b for b in targets
+            if b >= 0 and float(self.phys.bodies.inv_mass[b]) > 0
+        ]
+        return self.impact_at(impact, targets, partial=partial)
+
+    def impact_at(self, impact, target_bodies, partial: bool | None = None):
+        """Fracture the given bodies at an impact position."""
+        fcfg = self.cfg.fracture
+        partial = fcfg.partial_fracture if partial is None else partial
+        impact = jnp.asarray(impact, jnp.float32)
+
+        # Bake current transforms, tag pieces with their current body id.
+        baked = _bake_pieces(self.pieces, self.phys, self._x0)
+        baked = PieceSet(
+            convex=baked.convex,
+            mesh=baked.mesh,
+            mesh_valid=baked.mesh_valid,
+            valid=baked.valid,
+            group=baked.group,
+            tag=jnp.where(baked.valid, baked.group, -1),
+        )
+        old_phys = self.phys
+        metrics = []
+        pieces = baked
+        for body in target_bodies:
+            # Locate the current group holding this (tagged) body's pieces.
+            tags = np.asarray(pieces.tag)
+            groups = np.asarray(pieces.group)
+            valid = np.asarray(pieces.valid)
+            match = valid & (tags == body)
+            if not match.any():
+                continue
+            target_group = int(groups[match][0])
+            pieces, met = do_fracture(
+                pieces, self.ctx, impact, target_group, fcfg, partial=partial
+            )
+            metrics.append({k: np.asarray(v) for k, v in met.items()})
+        self.pieces = pieces
+        self._rebuild(old_phys=old_phys)
+        self.events.append({"impact": np.asarray(impact), "targets": target_bodies})
+        return {
+            "targets": target_bodies,
+            "impact": np.asarray(impact),
+            "metrics": metrics,
+        }
+
+
+@jax.jit
+def _transfer_velocities(
+    phys: PhysicsScene,
+    old: PhysicsScene,
+    group: jax.Array,
+    tag: jax.Array,
+    valid: jax.Array,
+):
+    """New body velocity = old tagged body's velocity at the new COM; bodies
+    made only of fresh fragments (tag −1 everywhere) stay at rest."""
+    B = phys.B
+    gid = jnp.where(valid & (group >= 0), group, B)
+    t = jnp.where(valid, tag, -1)
+    # Representative old body per new group: max tag (−1 if none).
+    rep = (
+        jnp.full((B + 1,), -1, jnp.int32).at[gid].max(t, mode="drop")[:B]
+    )
+    has = rep >= 0
+    repc = jnp.clip(rep, 0, old.B - 1)
+    v_old = old.bodies.v[repc]
+    w_old = old.bodies.w[repc]
+    x_old = old.bodies.x[repc]
+    v_new = v_old + jnp.cross(w_old, phys.bodies.x - x_old)
+    v = jnp.where(has[:, None], v_new, 0.0)
+    w = jnp.where(has[:, None], w_old, 0.0)
+    bodies = type(phys.bodies)(
+        x=phys.bodies.x,
+        q=phys.bodies.q,
+        v=jnp.where(phys.bodies.active[:, None], v, 0.0),
+        w=jnp.where(phys.bodies.active[:, None], w, 0.0),
+        inv_mass=phys.bodies.inv_mass,
+        inv_inertia_body=phys.bodies.inv_inertia_body,
+        active=phys.bodies.active,
+    )
+    return PhysicsScene(
+        bodies=bodies,
+        piece_owner=phys.piece_owner,
+        piece_valid=phys.piece_valid,
+        piece_verts=phys.piece_verts,
+        piece_vmask=phys.piece_vmask,
+        piece_planes=phys.piece_planes,
+        piece_pmask=phys.piece_pmask,
+    )

@@ -140,6 +140,7 @@ def test_split_groups_by_contact_detects_separation():
         mesh_valid=jnp.zeros((P, 4), bool),
         valid=jnp.ones((P,), bool),
         group=jnp.zeros((P,), jnp.int32),
+        tag=jnp.full((P,), -1, jnp.int32),
     )
     out = split_groups_by_contact(pieces, eps=1e-3)
     g = np.asarray(out.group)

@@ -27,6 +27,7 @@ def make_pieces(offsets, groups):
         jnp.zeros((P, 4), bool),
         jnp.ones((P,), bool),
         jnp.asarray(groups, jnp.int32),
+        jnp.full((P,), -1, jnp.int32),
     )
 
 

@@ -1,0 +1,69 @@
+"""Rasterizer tests (SURVEY §4: golden depth-buffer statistics on tiny
+scenes)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from surtr_tpu.render.camera import light_view_proj, look_at, ortho, perspective
+from surtr_tpu.render.raster import render_scene, rasterize_ids
+
+
+def test_single_triangle_coverage_and_depth():
+    tri = jnp.asarray([[[-1.0, -1, 0], [1, -1, 0], [0, 1, 0]]])
+    mvp = perspective(45, 1.0, 0.1, 100) @ look_at((0, 0, 5), (0, 0, 0))
+    depth, tid = rasterize_ids(tri, jnp.ones(1, bool), mvp, 64, 64)
+    hit = np.asarray(tid >= 0)
+    # Triangle occupies ~ half its bbox; bbox ~ 31x31 px.
+    assert 350 < hit.sum() < 560
+    d = np.asarray(depth)[hit]
+    assert (d > 0.97).all() and (d < 1.0).all()
+    # Winding-independent (no backface cull — caps face both ways).
+    tri_cw = tri[:, ::-1]
+    _, tid2 = rasterize_ids(tri_cw, jnp.ones(1, bool), mvp, 64, 64)
+    assert (np.asarray(tid2 >= 0) == hit).all()
+
+
+def test_z_buffer_orders_triangles():
+    tris = jnp.asarray(
+        [
+            [[-1.0, -1, 0], [1, -1, 0], [0, 1, 0]],    # near
+            [[-2.0, -2, -2], [2, -2, -2], [0, 2, -2]], # far, bigger
+        ]
+    )
+    mvp = perspective(45, 1.0, 0.1, 100) @ look_at((0, 0, 5), (0, 0, 0))
+    _, tid = rasterize_ids(tris, jnp.ones(2, bool), mvp, 64, 64)
+    t = np.asarray(tid)
+    # Center pixel shows the near triangle.
+    assert t[40, 32] == 0
+    # The far triangle is visible outside the near one's extent.
+    assert (t == 1).sum() > 0
+
+
+def test_behind_camera_culled():
+    tri = jnp.asarray([[[-1.0, -1, 10], [1, -1, 10], [0, 1, 10]]])
+    mvp = perspective(45, 1.0, 0.1, 100) @ look_at((0, 0, 5), (0, 0, 0))
+    _, tid = rasterize_ids(tri, jnp.ones(1, bool), mvp, 32, 32)
+    assert (np.asarray(tid) == -1).all()
+
+
+def test_render_scene_shadow():
+    """A floating square casts a shadow onto the ground square below."""
+    quad = lambda y, s: [
+        [[-s, y, -s], [-s, y, s], [s, y, s]],
+        [[-s, y, -s], [s, y, s], [s, y, -s]],
+    ]
+    tris = jnp.asarray(quad(0.0, 3.0) + quad(2.0, 0.7), jnp.float32)
+    valid = jnp.ones(4, bool)
+    colors = jnp.full((4, 3), 0.8)
+    cam = perspective(45, 1.0, 0.1, 100) @ look_at((0, 6, 7), (0, 0.5, 0))
+    light_dir = jnp.asarray([0.0, -1.0, 0.01])
+    lvp = light_view_proj(light_dir, (0, 1, 0), 6.0)
+    img, depth = render_scene(
+        tris, valid, colors, cam, lvp, light_dir, W=96, H=96, shadow_size=256
+    )
+    img = np.asarray(img)
+    # Ground pixels split into lit and shadowed populations.
+    ground_mask = np.asarray(depth) < 1.0
+    vals = img[..., 0][ground_mask]
+    assert vals.max() > 0.5          # lit ground
+    assert vals.min() < 0.25         # shadowed region under the square
