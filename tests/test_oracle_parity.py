@@ -1,0 +1,84 @@
+"""Parity: TPU kernels vs the f64 adjacency-polyhedron oracle
+(BASELINE config 0 — 'geometric parity against the C++ path')."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surtr_tpu.ops.clip import clip_poly_planes, clip_poly_poly
+from surtr_tpu.ops.moments import moments as jmoments
+from surtr_tpu.ops.voronoi import voronoi_cells
+from surtr_tpu.oracle.poly import (
+    clip_polyhedron,
+    cube_polyhedron,
+    moments,
+)
+from surtr_tpu.oracle.voronoi import voronoi_cells_oracle
+from surtr_tpu.types import unit_cube
+
+
+def test_random_plane_sequences_match_oracle():
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        planes = []
+        for _ in range(5):
+            n = rng.normal(size=3)
+            n /= np.linalg.norm(n)
+            planes.append(np.append(n, rng.uniform(-0.45, 0.15)))
+        planes = np.asarray(planes)
+        ours = clip_poly_planes(unit_cube(), jnp.asarray(planes, jnp.float32))
+        v_t, c_t = jmoments(ours)
+        oracle = clip_polyhedron(cube_polyhedron(), planes)
+        v_o, c_o = moments(oracle)
+        assert np.isclose(float(v_t), v_o, atol=2e-5), trial
+        if v_o > 1e-4:
+            assert np.allclose(np.asarray(c_t), c_o, atol=1e-4), trial
+
+
+def test_voronoi_32_seeds_matches_oracle():
+    """Config-0-scale Voronoi: per-cell volumes and centroids vs all-pairs
+    f64 cells."""
+    rng = np.random.default_rng(46354)
+    seeds = rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32)
+    cells = voronoi_cells(jnp.asarray(seeds), k=31)
+    v_t, c_t = jmoments(cells)
+    oc = voronoi_cells_oracle(seeds)
+    v_o = np.array([moments(c)[0] for c in oc])
+    c_o = np.array([moments(c)[1] for c in oc])
+    assert np.allclose(np.asarray(v_t), v_o, atol=3e-5)
+    assert np.allclose(np.asarray(c_t), c_o, atol=5e-4)
+
+
+def test_fracture_fragment_volumes_match_oracle():
+    """Cube fractured by 32 Voronoi cells: sorted fragment volumes match the
+    oracle's polyhedron-clip fragments."""
+    rng = np.random.default_rng(7)
+    seeds = rng.uniform(-0.5, 0.5, (32, 3)).astype(np.float32)
+    cells = voronoi_cells(jnp.asarray(seeds), k=31)
+    target = unit_cube()
+    frags = jax.vmap(lambda c: clip_poly_poly(target, c))(cells)
+    v_t = np.sort(np.asarray(jmoments(frags)[0]))
+
+    oc = voronoi_cells_oracle(seeds)
+    # Oracle fragments: cube ∩ cell — same planes, f64 adjacency clip.
+    v_o = []
+    for cell in oc:
+        # Recover the cell's planes from its faces is the TPU kernel's job;
+        # the oracle clips the cube directly by the same bisectors instead.
+        pass
+    seeds64 = seeds.astype(np.float64)
+    for i in range(32):
+        planes = []
+        order = np.argsort(np.sum((seeds64 - seeds64[i]) ** 2, axis=1))
+        for j in order:
+            if j == i:
+                continue
+            d = seeds64[j] - seeds64[i]
+            nrm = d / np.linalg.norm(d)
+            mid = (seeds64[i] + seeds64[j]) / 2
+            planes.append(np.append(nrm, -nrm @ mid))
+        frag = clip_polyhedron(cube_polyhedron(), planes)
+        v_o.append(moments(frag)[0])
+    v_o = np.sort(np.asarray(v_o))
+    assert np.allclose(v_t, v_o, atol=3e-5)
+    assert np.isclose(v_t.sum(), 1.0, atol=1e-4)
