@@ -12,12 +12,27 @@ fracture decomposition plus one 10k-fragment physics step, in ms (target
 from __future__ import annotations
 
 import json
-import time
+import os
 import sys
+import time
 
 import jax
+
+# Persistent compile cache: the axon remote-compile path can take minutes per
+# program cold; the terminal caches server-side and this local cache catches
+# whatever it can in addition.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SURTR_JAX_CACHE", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def timeit(fn, *args, warmup=2, iters=5):
@@ -144,9 +159,13 @@ def bench_cube32():
 def main():
     backend = jax.default_backend()
     t0 = time.time()
+    log(f"[bench] backend={backend}")
     decomp_ms, n_pieces, vol = bench_decomposition_1k()
+    log(f"[bench] decomp_1k={decomp_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     phys_ms = bench_physics_10k()
+    log(f"[bench] physics_10k={phys_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     cube_ms = bench_cube32()
+    log(f"[bench] cube32={cube_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     total = decomp_ms + phys_ms
     out = {
         "metric": "1k-seed fracture decomposition + 10k-fragment physics step",
