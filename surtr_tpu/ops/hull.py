@@ -150,8 +150,9 @@ def ich(
         free_order = jnp.argsort(fvalid_mid)                # invalid slots first
         rank = jnp.cumsum(horizon.astype(jnp.int32)) - horizon.astype(jnp.int32)
         slot = free_order[jnp.minimum(rank, F - 1)]
+        # zeros_like + k (not full_like): composes with shard_map vma typing.
         new_face = jnp.stack(
-            [fe0, fe1, jnp.full_like(fe0, k)], axis=1
+            [fe0, fe1, jnp.zeros_like(fe0) + k], axis=1
         ).astype(jnp.int32)
         # Orient against the fixed interior point.
         nv = _vol(pts[new_face], inner)
