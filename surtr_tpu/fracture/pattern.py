@@ -32,8 +32,16 @@ def radial_seeds(key: jax.Array, n: int, mean: float) -> jax.Array:
 
 
 def pattern_cells(
-    seeds: jax.Array, k: int, F: int, S: int
+    seeds: jax.Array, k: int | None, F: int, S: int
 ) -> ConvexPoly:
     """Voronoi cells of a seed cloud in the unit cube (voro++ container
-    parity: domain [-0.5, 0.5]^3, Surtr.cpp:2007-2011)."""
-    return voronoi_cells(seeds, k=k, F=F, S=S)
+    parity: domain [-0.5, 0.5]^3, Surtr.cpp:2007-2011).
+
+    k=None uses all-pairs bisectors — REQUIRED for the radial impact
+    patterns: their extreme clustering gives cells hundreds of true Voronoi
+    neighbors, and k-nearest pruning leaves overlapping cells (which then
+    double-count fragment volume). Uniform clouds can prune safely."""
+    n = seeds.shape[0]
+    if k is None:
+        k = n - 1
+    return voronoi_cells(seeds, k=min(k, n - 1), F=F, S=S)

@@ -205,13 +205,15 @@ def prepare_fracture(
     cells = translate_poly(scale_poly(cells, extent), bb_center)
 
     # 9. Impact fracture patterns, cached in unit space (Surtr.cpp:1806-1807).
+    # Radial clouds are extremely clustered: use all-pairs bisectors (k=None),
+    # k-nearest pruning would leave overlapping cells.
     pp = pattern_cells(
         radial_seeds(k1, cfg.partial_pattern_cell_cnt, cfg.partial_pattern_dist),
-        k=min(cfg.voronoi_neighbors, cfg.partial_pattern_cell_cnt - 1), F=F, S=S,
+        k=None, F=F, S=S,
     )
     gp = pattern_cells(
         radial_seeds(k2, cfg.general_pattern_cell_cnt, cfg.general_pattern_dist),
-        k=min(cfg.voronoi_neighbors, cfg.general_pattern_cell_cnt - 1), F=F, S=S,
+        k=None, F=F, S=S,
     )
 
     ctx = FractureContext(

@@ -148,6 +148,31 @@ def test_split_groups_by_contact_detects_separation():
     assert g[2] != g[0]
 
 
+def test_radial_pattern_cells_tile_exactly():
+    """Regression: the clustered radial pattern needs all-pairs bisectors —
+    k-nearest pruning produced overlapping cells (75% volume overcount)."""
+    import jax as _jax
+
+    from surtr_tpu.fracture.pattern import pattern_cells, radial_seeds
+
+    seeds = radial_seeds(_jax.random.PRNGKey(46354), 128, 0.01)
+    cells = pattern_cells(seeds, k=None, F=32, S=16)
+    v, _ = moments(cells)
+    assert np.isclose(float(v.sum()), 1.0, atol=2e-3)
+
+
+def test_default_config_impact_conserves_volume():
+    """Scene-level conservation with the DEFAULT FractureConfig (regression:
+    an impact inflated 27 → 36 via overlapping pattern cells)."""
+    from surtr_tpu.config import SceneConfig
+    from surtr_tpu.scene import Scene
+
+    sc = Scene("cube", SceneConfig())
+    sc.step(30)
+    sc.fire_impact((0, 4.7, -10), (0, 0, 1))
+    assert np.isclose(sc.total_volume(), 27.0, rtol=2e-3)
+
+
 def test_fracture_pieces_are_convex():
     pieces, ctx, _ = _prep("cube")
     out, _ = do_fracture(pieces, ctx, jnp.array([1.5, 0.0, 0.0]), 0, CFG)
