@@ -114,8 +114,28 @@ def clip_poly_plane(
     face_touched = jnp.any(removed, axis=1)                              # (F,)
     inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None]
     any_removed = jnp.any(removed)
-    cap_mask = ((cross | inplane) & any_removed).reshape(-1)             # (F*S,)
-    cap_pts = jnp.where(cross[..., None], p_cut, fv).reshape(-1, 3)
+    cand = (cross | inplane) & any_removed                               # (F, S)
+    cand_pts = jnp.where(cross[..., None], p_cut, fv)                    # (F, S, 3)
+    # A convex face contributes at most 2 cap points (3 slots for safety in
+    # tangency cases); compacting to (F, 3) keeps the angular sort small —
+    # sorting the full (F·S) pool dominated TPU time.
+    CAPS = 3
+    rank = jnp.cumsum(cand.astype(jnp.int32), axis=1) - cand.astype(jnp.int32)
+    keep_c = cand & (rank < CAPS)
+    row = jnp.arange(F, dtype=jnp.int32)[:, None]
+    cidx = jnp.where(keep_c, row * CAPS + rank, F * CAPS)
+    pool = (
+        jnp.zeros((F * CAPS + 1, 3), fv.dtype)
+        .at[cidx.reshape(-1)]
+        .set(cand_pts.reshape(-1, 3), mode="drop")[: F * CAPS]
+    )
+    pool_mask = (
+        jnp.zeros((F * CAPS + 1,), bool)
+        .at[cidx.reshape(-1)]
+        .set(keep_c.reshape(-1), mode="drop")[: F * CAPS]
+    )
+    cap_mask = pool_mask                                                 # (3F,)
+    cap_pts = pool
     cnt = jnp.sum(cap_mask)
     wsum = jnp.sum(jnp.where(cap_mask[:, None], cap_pts, 0.0), axis=0)
     centroid = wsum / jnp.maximum(cnt, 1)
