@@ -73,11 +73,12 @@ def convex_out_of_sphere(
 def _match_cut_faces(poly: ConvexPoly, cut_planes, cut_mask, scale, tol=1e-4):
     """(F,) bool — faces of ``poly`` whose plane equals one of the cut planes
     (cap faces carry the cut plane bitwise, so a loose tolerance suffices)."""
+    from surtr_tpu.ops.linalg import supports
+
     n = poly.planes[..., :3]
     d = poly.planes[..., 3]
-    ndot = jnp.einsum(
-        "...fk,ck->...fc", n, cut_planes[:, :3],
-        precision=jax.lax.Precision.HIGHEST,
+    ndot = supports(
+        n, jnp.broadcast_to(cut_planes[:, :3], n.shape[:-2] + cut_planes[:, :3].shape)
     )
     dm = jnp.abs(d[..., None] - cut_planes[None, :, 3])
     hit = (jnp.abs(ndot - 1.0) < tol) & (dm < tol * scale) & cut_mask[None, :]

@@ -34,12 +34,12 @@ def kdop_planes(
       planes: (..., 2K, 4) — [max-side planes; min-side planes], and
       plane_mask: (..., 2K) bool.
     """
+    from surtr_tpu.ops.linalg import supports
+
     K = dirs.shape[-2]
-    # Geometry matmuls must stay f32 on the MXU — the TPU default (bf16
-    # inputs) loses ~3 decimal digits and visibly shifts support planes.
-    t = jnp.einsum(
-        "...nd,...kd->...nk", verts, dirs, precision=jax.lax.Precision.HIGHEST
-    )
+    # VPU broadcast contraction: full f32 (no bf16 truncation) and no
+    # batched-tiny-matmul lowering (see ops/linalg.py).
+    t = supports(verts, jnp.broadcast_to(dirs, verts.shape[:-2] + dirs.shape[-2:]))
     big = jnp.asarray(3.4e38, t.dtype)
     m = vert_mask[..., :, None]
     tmax = jnp.max(jnp.where(m, t, -big), axis=-2)          # (..., K)

@@ -18,10 +18,12 @@ BIG = 3.4e38
 
 
 def _world_planes(scene: PhysicsScene):
+    from surtr_tpu.ops.linalg import rot_points
+
     owner = jnp.clip(scene.piece_owner, 0, scene.B - 1)
     R = quat_to_mat(scene.bodies.q)[owner]
     x = scene.bodies.x[owner]
-    n = jnp.einsum("pij,pfj->pfi", R, scene.piece_planes[..., :3])
+    n = rot_points(R, scene.piece_planes[..., :3])
     d = scene.piece_planes[..., 3] - jnp.sum(n * x[:, None, :], axis=-1)
     return n, d
 

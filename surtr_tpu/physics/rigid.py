@@ -59,9 +59,11 @@ def quat_integrate(q: jax.Array, w: jax.Array, dt) -> jax.Array:
 def rotate(q: jax.Array, v: jax.Array) -> jax.Array:
     """Rotate vectors by quaternions (broadcasting on leading dims)."""
     R = quat_to_mat(q)
-    return jnp.einsum("...ij,...j->...i", R, v)
+    return jnp.sum(R * v[..., None, :], axis=-1)
 
 
 def world_inv_inertia(q: jax.Array, inv_I_body: jax.Array) -> jax.Array:
+    """R I⁻¹ Rᵀ as broadcast sums (batched 3×3 einsums lower badly on TPU)."""
     R = quat_to_mat(q)
-    return jnp.einsum("...ij,...jk,...lk->...il", R, inv_I_body, R)
+    RI = jnp.sum(R[..., :, :, None] * inv_I_body[..., None, :, :], axis=-2)
+    return jnp.sum(RI[..., :, None, :] * R[..., None, :, :], axis=-1)

@@ -141,10 +141,11 @@ def build_scene(
 
 def piece_world_verts(scene: PhysicsScene):
     """World-space hull verts per piece: ((Np, Vh, 3), mask)."""
+    from surtr_tpu.ops.linalg import rot_points
     from surtr_tpu.physics.rigid import quat_to_mat
 
     owner = jnp.clip(scene.piece_owner, 0, scene.B - 1)
     R = quat_to_mat(scene.bodies.q)[owner]            # (Np, 3, 3)
     x = scene.bodies.x[owner]
-    w = jnp.einsum("pij,pvj->pvi", R, scene.piece_verts) + x[:, None]
+    w = rot_points(R, scene.piece_verts) + x[:, None]
     return w, scene.piece_vmask

@@ -82,9 +82,9 @@ def _broadphase(centers, lo, hi, owner, valid, K, block):
 
 def _support(verts, vmask, axes):
     """Max of verts·axes over masked verts. verts (V,3), axes (D,3) → (D,)."""
-    t = jnp.einsum(
-        "vd,kd->vk", verts, axes, precision=jax.lax.Precision.HIGHEST
-    )
+    from surtr_tpu.ops.linalg import supports
+
+    t = supports(verts, axes)  # VPU broadcast; vmapped over pairs
     return jnp.max(jnp.where(vmask[:, None], t, -BIG), axis=0)
 
 
@@ -113,8 +113,10 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     )
 
     # --- 3a. pair narrowphase (SAT)
+    from surtr_tpu.ops.linalg import matvec3, rot_points
+
     Rw = quat_to_mat(bodies.q)[owner]                          # (Np, 3, 3)
-    wplanes_n = jnp.einsum("pij,pfj->pfi", Rw, scene.piece_planes[..., :3])
+    wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])
     base = dop26_directions(wverts.dtype)                      # (13, 3)
 
     def pair_contact(i, j, ok):
@@ -143,8 +145,8 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
         flip = (si_max + si_min) < (sj_max + sj_min)
         n = jnp.where(flip[a], -axis, axis)
         # Contact point: midpoint of the two deepest supports.
-        ti = jnp.einsum("vd,d->v", wverts[i], -n)
-        tj = jnp.einsum("vd,d->v", wverts[j], n)
+        ti = jnp.sum(wverts[i] * -n, axis=-1)
+        tj = jnp.sum(wverts[j] * n, axis=-1)
         pi = wverts[i][jnp.argmax(jnp.where(wmask[i], ti, -BIG))]
         pj = wverts[j][jnp.argmax(jnp.where(wmask[j], tj, -BIG))]
         point = 0.5 * (pi + pj)
@@ -190,7 +192,7 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     # Effective masses.
     def k_term(inv_m_b, inv_I_b, r, n):
         rxn = jnp.cross(r, n)
-        return inv_m_b + jnp.sum(rxn * jnp.einsum("cij,cj->ci", inv_I_b, rxn), -1)
+        return inv_m_b + jnp.sum(rxn * matvec3(inv_I_b, rxn), -1)
 
     iA_m, iB_m = inv_m[bA], jnp.where(is_static, 0.0, inv_m[bB_c])
     iA_I = inv_I[bA]
@@ -240,8 +242,8 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
         sB = split[bB_c][:, None]
         dvA = imp * iA_m[:, None] * sA
         dvB = -imp * iB_m[:, None] * sB
-        dwA = jnp.einsum("cij,cj->ci", iA_I, jnp.cross(rA, imp)) * sA
-        dwB = -jnp.einsum("cij,cj->ci", iB_I, jnp.cross(rB, imp)) * sB
+        dwA = matvec3(iA_I, jnp.cross(rA, imp)) * sA
+        dwB = -matvec3(iB_I, jnp.cross(rB, imp)) * sB
         v = v.at[bA].add(dvA).at[jnp.where(is_static, B, bB_c)].add(
             dvB, mode="drop"
         )

@@ -34,23 +34,23 @@ def _bake_pieces(pieces: PieceSet, phys: PhysicsScene, x0: jax.Array) -> PieceSe
     Stored geometry is in the world frame of the last rebuild; the current
     transform is p ↦ R_b (p − x0_b) + x_b.
     """
+    from surtr_tpu.ops.linalg import matvec3, rot_points
+
     B = phys.B
+    P = pieces.P
     owner = jnp.clip(jnp.where(pieces.valid, pieces.group, 0), 0, B - 1)
     R = quat_to_mat(phys.bodies.q)[owner]                     # (P, 3, 3)
-    t = phys.bodies.x[owner] - jnp.einsum(
-        "pij,pj->pi", R, x0[owner]
-    )
-    fv = (
-        jnp.einsum("pij,pfsj->pfsi", R, pieces.convex.face_verts)
-        + t[:, None, None, :]
-    )
-    n = jnp.einsum("pij,pfj->pfi", R, pieces.convex.planes[..., :3])
+    t = phys.bodies.x[owner] - matvec3(R, x0[owner])
+    fv = rot_points(
+        R, pieces.convex.face_verts.reshape(P, -1, 3)
+    ).reshape(pieces.convex.face_verts.shape) + t[:, None, None, :]
+    n = rot_points(R, pieces.convex.planes[..., :3])
     d = pieces.convex.planes[..., 3:4] - jnp.sum(
         n * t[:, None, :], axis=-1, keepdims=True
     )
-    mesh = (
-        jnp.einsum("pij,ptcj->ptci", R, pieces.mesh) + t[:, None, None, :]
-    )
+    mesh = rot_points(R, pieces.mesh.reshape(P, -1, 3)).reshape(
+        pieces.mesh.shape
+    ) + t[:, None, None, :]
     return PieceSet(
         convex=ConvexPoly(fv, pieces.convex.n_verts, jnp.concatenate([n, d], -1)),
         mesh=mesh,
