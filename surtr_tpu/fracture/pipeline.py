@@ -111,28 +111,19 @@ def cut_face_tris(poly: ConvexPoly, face_sel):
 
 
 def _append_tris(base, base_mask, extra, extra_mask):
-    """Pack extra triangles into the free tail of a padded triangle buffer."""
+    """Pack extra triangles into the free tail of a padded triangle buffer
+    (single-piece layout; callers vmap). Scatter-free: one chunked
+    compaction over the concatenated pools."""
+    from surtr_tpu.ops.linalg import compact_big
+
     T = base.shape[-3]
-    n0 = jnp.sum(base_mask, axis=-1)
-    tgt = (
-        jnp.cumsum(extra_mask.astype(jnp.int32), axis=-1)
-        - extra_mask.astype(jnp.int32)
-        + n0[..., None]
-    )
-    ok = extra_mask & (tgt < T)
-    out = base
-    # flat scatter (single piece layout; callers vmap for batches)
-    idx = jnp.where(ok, tgt, T)
-    out = (
-        jnp.zeros((T + 1, 3, 3), base.dtype)
-        .at[:T]
-        .set(base)
-        .at[idx]
-        .set(extra, mode="drop")[:T]
-    )
-    out_mask = jnp.arange(T) < (n0 + jnp.sum(ok, axis=-1))
-    dropped = jnp.sum(extra_mask & ~ok)
-    return out, out_mask, dropped
+    vals = jnp.concatenate([base, extra]).reshape(-1, 9)
+    flags = jnp.concatenate([base_mask, extra_mask])
+    total = jnp.sum(flags)
+    out, _ = compact_big(vals, flags, T)
+    out_mask = jnp.arange(T) < total
+    dropped = jnp.maximum(total - T, 0)
+    return out.reshape(T, 3, 3), out_mask, dropped
 
 
 def refit_convex(

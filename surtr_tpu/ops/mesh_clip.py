@@ -22,18 +22,21 @@ import jax.numpy as jnp
 
 
 def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol):
-    """SH-clip a batch of small polygons by one plane.
+    """SH-clip a batch of small polygons by one plane, scatter/gather-free.
 
     poly: (T, S, 3); n_vert: (T,). Returns same shapes. Keeps n·x + d < 0.
     """
+    from surtr_tpu.ops.linalg import compact
+
     T, S, _ = poly.shape
     n, d = plane[:3], plane[3]
     slot = jnp.arange(S, dtype=jnp.int32)
     m = slot[None, :] < n_vert[:, None]
     dist = jnp.sum(poly * n, axis=-1) + d
-    nxt = jnp.where(slot[None, :] + 1 < n_vert[:, None], slot[None, :] + 1, 0)
-    v_next = jnp.take_along_axis(poly, nxt[:, :, None], axis=1)
-    d_next = jnp.take_along_axis(dist, nxt, axis=1)
+    rolled = jnp.roll(poly, -1, axis=1)
+    is_last = slot[None, :] == n_vert[:, None] - 1
+    v_next = jnp.where(is_last[..., None], poly[:, 0:1, :], rolled)
+    d_next = jnp.sum(v_next * n, axis=-1) + d
     kept = m & (dist <= tol)
     cross = m & (
         ((dist < -tol) & (d_next > tol)) | ((dist > tol) & (d_next < -tol))
@@ -44,16 +47,7 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
 
     flags = jnp.stack([kept, cross], -1).reshape(T, 2 * S)
     vals = jnp.stack([poly, p_cut], -2).reshape(T, 2 * S, 3)
-    tgt = jnp.cumsum(flags.astype(jnp.int32), -1) - flags.astype(jnp.int32)
-    n_out = jnp.minimum(jnp.sum(flags, -1).astype(jnp.int32), S)
-    row = jnp.arange(T, dtype=jnp.int32)[:, None]
-    flat = jnp.where(flags & (tgt < S), row * S + tgt, T * S)
-    out = (
-        jnp.zeros((T * S + 1, 3), poly.dtype)
-        .at[flat.reshape(-1)]
-        .set(vals.reshape(-1, 3), mode="drop")[: T * S]
-        .reshape(T, S, 3)
-    )
+    out, n_out = compact(vals, flags, S)
     return out, jnp.where(n_out >= 3, n_out, 0)
 
 
@@ -103,15 +97,13 @@ def clip_trisoup(
         ],
         axis=2,
     )                                                        # (T, S, 3, 3)
+    from surtr_tpu.ops.linalg import compact_big
+
     flat_ok = fan_ok.reshape(-1)
-    flat_tris = tris.reshape(-1, 3, 3)
-    tgt = jnp.cumsum(flat_ok.astype(jnp.int32)) - flat_ok.astype(jnp.int32)
+    flat_tris = tris.reshape(-1, 9)
     total = jnp.sum(flat_ok)
-    out = (
-        jnp.zeros((max_out + 1, 3, 3), corners.dtype)
-        .at[jnp.where(flat_ok & (tgt < max_out), tgt, max_out)]
-        .set(flat_tris, mode="drop")[:max_out]
-    )
+    out, _ = compact_big(flat_tris, flat_ok, max_out)
+    out = out.reshape(max_out, 3, 3)
     out_valid = jnp.arange(max_out) < total
     dropped = jnp.maximum(total - max_out, 0)
     return out, out_valid, dropped

@@ -31,12 +31,13 @@ class PhysicsScene:
     """
 
     bodies: RigidState
-    piece_owner: jax.Array   # (Np,) i32 body index (or -1)
+    piece_owner: jax.Array   # (Np,) i32 body index (or -1); SORTED ascending
     piece_valid: jax.Array   # (Np,) bool
     piece_verts: jax.Array   # (Np, Vh, 3) body-frame hull verts
     piece_vmask: jax.Array   # (Np, Vh) bool
     piece_planes: jax.Array  # (Np, F, 4) body-frame planes
     piece_pmask: jax.Array   # (Np, F) bool
+    seg_start: jax.Array     # (B+1,) piece-run offsets per body (sorted owner)
 
     @property
     def B(self) -> int:
@@ -128,14 +129,26 @@ def build_scene(
     )
     planes_local = jnp.concatenate([n, dpl], axis=-1)
 
+    # Sort pieces by owner so per-body reductions are segmented cumsums
+    # (the step is scatter-free; see physics/step.py docstring).
+    owner_raw = jnp.where(pieces.valid, pieces.group, -1).astype(jnp.int32)
+    sort_key = jnp.where(owner_raw >= 0, owner_raw, B)
+    order = jnp.argsort(sort_key)
+    owner_sorted = owner_raw[order]
+    key_sorted = sort_key[order]
+    seg_start = jnp.searchsorted(
+        key_sorted, jnp.arange(B + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    # Bodies with pieces beyond B (invalid) are excluded: clamp final edge.
     return PhysicsScene(
         bodies=bodies,
-        piece_owner=jnp.where(pieces.valid, pieces.group, -1).astype(jnp.int32),
-        piece_valid=pieces.valid,
-        piece_verts=jnp.where(vmask[..., None], verts, 0.0),
-        piece_vmask=vmask & pieces.valid[:, None],
-        piece_planes=planes_local,
-        piece_pmask=pieces.convex.face_mask() & pieces.valid[:, None],
+        piece_owner=owner_sorted,
+        piece_valid=pieces.valid[order],
+        piece_verts=jnp.where(vmask[..., None], verts, 0.0)[order],
+        piece_vmask=(vmask & pieces.valid[:, None])[order],
+        piece_planes=planes_local[order],
+        piece_pmask=(pieces.convex.face_mask() & pieces.valid[:, None])[order],
+        seg_start=seg_start,
     )
 
 

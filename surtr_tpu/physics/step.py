@@ -2,15 +2,22 @@
 ``simulate(1/120)/fetchResults`` (/root/reference/Src/Surtr.cpp:330-331).
 
 One call = one fixed 1/120 s step, entirely on device:
-  1. world hull transform (batched matmuls),
-  2. blocked k-nearest AABB broadphase (no N² materialization),
+  1. world hull transform (VPU broadcast rotations),
+  2. blocked k-nearest AABB broadphase, symmetrized to *mutual* candidate
+     lists,
   3. narrowphase: SAT over the 26-DOP axis set + both pieces' face normals;
-     one contact per pair, up to ``max_ground_contacts`` per piece vs the
-     ground plane (PxPlane(0,1,0,2) parity, Surtr.cpp:1527),
+     contacts live in a fixed piece-major (Np, K+G) slot layout — every piece
+     owns its K pair slots and G ground slots,
   4. Jacobi projected-impulse solver with mass splitting, Baumgarte bias,
-     Coulomb friction μ=0.5 and restitution 0.1 (PxMaterial parity,
-     Surtr.cpp:1160),
+     Coulomb friction μ=0.5, restitution 0.1 (PxMaterial parity,
+     Surtr.cpp:1160). Each side of a mutual pair computes the same impulse
+     and applies only its own half — so the whole solver is reshape-sums and
+     plain gathers: NO scatter anywhere (TPU batched scatters cost ~40 ms;
+     see ops/clip.py performance note),
   5. symplectic Euler integration with quaternion renormalization.
+
+Piece→body reduction uses the sorted-owner segmented-cumsum trick: build_scene
+sorts pieces by owner, so a body's sum is a difference of two cumsum reads.
 """
 
 from __future__ import annotations
@@ -22,6 +29,7 @@ import jax.numpy as jnp
 
 from surtr_tpu.config import PhysicsConfig
 from surtr_tpu.ops.kdop import dop26_directions
+from surtr_tpu.ops.linalg import matvec3, supports
 from surtr_tpu.physics.rigid import quat_integrate, quat_to_mat, world_inv_inertia
 from surtr_tpu.physics.scene import PhysicsScene, piece_world_verts
 
@@ -29,40 +37,29 @@ BIG = 3.4e38
 
 
 def _broadphase(centers, lo, hi, owner, valid, K, block):
-    """Top-K nearest overlapping candidates per piece.
-
-    Returns (Np, K) partner indices and (Np, K) validity. Blocked over rows so
-    the (Np, Np) distance matrix is never materialized at once.
-    """
+    """Top-K nearest overlapping candidates per piece; (Np, K) idx + mask."""
     Np = centers.shape[0]
     nblk = (Np + block - 1) // block
     pad = nblk * block - Np
-    cpad = jnp.pad(centers, ((0, pad), (0, 0)))
     rows = jnp.arange(block)
+    cpad = jnp.pad(centers, ((0, pad), (0, 0)))
+    lopad = jnp.pad(lo, ((0, pad), (0, 0)))
+    hipad = jnp.pad(hi, ((0, pad), (0, 0)))
+    ownpad = jnp.pad(owner, (0, pad), constant_values=-2)
+    valpad = jnp.pad(valid, (0, pad))
 
     def one_block(b):
         r0 = b * block
-        c = jax.lax.dynamic_slice_in_dim(cpad, r0, block)      # (blk, 3)
-        lo_r = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(lo, ((0, pad), (0, 0))), r0, block
-        )
-        hi_r = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(hi, ((0, pad), (0, 0))), r0, block
-        )
-        own_r = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(owner, (0, pad), constant_values=-2), r0, block
-        )
-        val_r = jax.lax.dynamic_slice_in_dim(
-            jnp.pad(valid, (0, pad)), r0, block
-        )
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, r0, block)
+        c, lo_r, hi_r = sl(cpad), sl(lopad), sl(hipad)
+        own_r, val_r = sl(ownpad), sl(valpad)
         gidx = r0 + rows
         overlap = jnp.all(
             (lo_r[:, None] <= hi[None]) & (lo[None] <= hi_r[:, None]), axis=-1
-        )                                                      # (blk, Np)
-        same_body = own_r[:, None] == owner[None, :]
+        )
         ok = (
             overlap
-            & ~same_body
+            & (own_r[:, None] != owner[None, :])
             & val_r[:, None]
             & valid[None, :]
             & (gidx[:, None] != jnp.arange(Np)[None, :])
@@ -71,7 +68,7 @@ def _broadphase(centers, lo, hi, owner, valid, K, block):
         score = jnp.where(ok, -d2, -BIG)
         kk = min(K, Np)
         neg, idx = jax.lax.top_k(score, kk)
-        if kk < K:  # tiny scenes: pad out to K partners
+        if kk < K:
             neg = jnp.pad(neg, ((0, 0), (0, K - kk)), constant_values=-BIG)
             idx = jnp.pad(idx, ((0, 0), (0, K - kk)))
         return idx, neg > -BIG / 2
@@ -80,12 +77,15 @@ def _broadphase(centers, lo, hi, owner, valid, K, block):
     return idx.reshape(-1, K)[:Np], ok.reshape(-1, K)[:Np]
 
 
-def _support(verts, vmask, axes):
-    """Max of verts·axes over masked verts. verts (V,3), axes (D,3) → (D,)."""
-    from surtr_tpu.ops.linalg import supports
+def _segment_sums(piece_vals: jax.Array, seg_start: jax.Array):
+    """Per-body sums of piece values when pieces are sorted by owner.
 
-    t = supports(verts, axes)  # VPU broadcast; vmapped over pairs
-    return jnp.max(jnp.where(vmask[:, None], t, -BIG), axis=0)
+    piece_vals: (Np, D); seg_start: (B+1,) start offsets. Returns (B, D).
+    Pure cumsum + two gathers — no scatter."""
+    csum = jnp.concatenate(
+        [jnp.zeros_like(piece_vals[:1]), jnp.cumsum(piece_vals, axis=0)]
+    )
+    return csum[seg_start[1:]] - csum[seg_start[:-1]]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -95,6 +95,7 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     Np, B = scene.Np, scene.B
     K = cfg.max_neighbors
     G = cfg.max_ground_contacts
+    C = K + G
 
     # --- 1. world transforms
     wverts, wmask = piece_world_verts(scene)                   # (Np, Vh, 3)
@@ -107,23 +108,24 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     lo, hi = lo - margin, hi + margin
     centers = jnp.where(pvalid[:, None], (lo + hi) * 0.5, big)
 
-    # --- 2. broadphase
+    # --- 2. broadphase, symmetrized (contact only when both sides list it).
     pidx, pok = _broadphase(
         centers, lo, hi, scene.piece_owner, pvalid, K, cfg.broadphase_block
     )
+    partner_lists = pidx[pidx]                     # (Np, K, K)
+    me = jnp.arange(Np, dtype=jnp.int32)[:, None, None]
+    mutual = jnp.any(partner_lists == me, axis=-1)
+    pok = pok & mutual
 
-    # --- 3a. pair narrowphase (SAT)
-    from surtr_tpu.ops.linalg import matvec3, rot_points
+    # --- 3a. pair narrowphase (SAT), piece-major slots (Np, K).
+    from surtr_tpu.ops.linalg import rot_points
 
-    Rw = quat_to_mat(bodies.q)[owner]                          # (Np, 3, 3)
-    wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])
+    Rw = quat_to_mat(bodies.q)[owner]
+    wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])    # (Np, F, 3)
     base = dop26_directions(wverts.dtype)                      # (13, 3)
 
     def pair_contact(i, j, ok):
-        # Candidate axes: 13 fixed + face normals of both pieces.
-        axes = jnp.concatenate(
-            [base, wplanes_n[i], wplanes_n[j]], axis=0
-        )                                                      # (13+2F, 3)
+        axes = jnp.concatenate([base, wplanes_n[i], wplanes_n[j]], axis=0)
         amask = jnp.concatenate(
             [
                 jnp.ones((base.shape[0],), bool),
@@ -131,20 +133,22 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
                 scene.piece_pmask[j],
             ]
         )
-        si_max = _support(wverts[i], wmask[i], axes)
-        si_min = -_support(wverts[i], wmask[i], -axes)
-        sj_max = _support(wverts[j], wmask[j], axes)
-        sj_min = -_support(wverts[j], wmask[j], -axes)
-        # overlap along axis a: min(hi_i, hi_j) - max(lo_i, lo_j)
+        si = supports(wverts[i], axes)  # (Vh, D) — reused for min via mask
+        sj = supports(wverts[j], axes)
+        mi = wmask[i][:, None]
+        mj = wmask[j][:, None]
+        si_max = jnp.max(jnp.where(mi, si, -BIG), axis=0)
+        si_min = jnp.min(jnp.where(mi, si, BIG), axis=0)
+        sj_max = jnp.max(jnp.where(mj, sj, -BIG), axis=0)
+        sj_min = jnp.min(jnp.where(mj, sj, BIG), axis=0)
         ov = jnp.minimum(si_max, sj_max) - jnp.maximum(si_min, sj_min)
         ov = jnp.where(amask, ov, BIG)
         a = jnp.argmin(ov)
         depth = ov[a]
         axis = axes[a]
-        # Normal points from j to i if i sits on the + side of the axis.
         flip = (si_max + si_min) < (sj_max + sj_min)
+        # n points from partner j toward piece i (i receives +n impulse).
         n = jnp.where(flip[a], -axis, axis)
-        # Contact point: midpoint of the two deepest supports.
         ti = jnp.sum(wverts[i] * -n, axis=-1)
         tj = jnp.sum(wverts[j] * n, axis=-1)
         pi = wverts[i][jnp.argmax(jnp.where(wmask[i], ti, -BIG))]
@@ -155,101 +159,102 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
 
     flat_i = jnp.repeat(jnp.arange(Np, dtype=jnp.int32), K)
     flat_j = pidx.reshape(-1)
-    flat_ok = pok.reshape(-1) & (flat_i < flat_j)  # dedupe symmetric pairs
-    pc_n, pc_p, pc_d, pc_hit = jax.vmap(pair_contact)(flat_i, flat_j, flat_ok)
+    pc_n, pc_p, pc_d, pc_hit = jax.vmap(pair_contact)(
+        flat_i, flat_j, pok.reshape(-1)
+    )
 
-    # --- 3b. ground contacts: deepest G verts below the plane y = ground_y.
-    depth_v = cfg.ground_y - wverts[..., 1]                    # (Np, Vh)
+    # --- 3b. ground contacts: deepest G verts below y = ground_y.
+    depth_v = cfg.ground_y - wverts[..., 1]
     below = wmask & (depth_v > -cfg.contact_slop)
     gd, gidx = jax.lax.top_k(jnp.where(below, depth_v, -BIG), G)
     g_hit = (gd > -cfg.contact_slop) & pvalid[:, None]
     g_pts = jnp.take_along_axis(wverts, gidx[..., None], axis=1)
+    up = jnp.zeros((Np, G, 3), wverts.dtype).at[..., 1].set(1.0)
 
-    # --- assemble contact arrays: body A receives +n impulse, B (or ground)
-    # receives -n. For ground contacts B = -1 (static).
-    n_pair = pc_hit.shape[0]
-    nrm = jnp.concatenate(
-        [pc_n, jnp.broadcast_to(jnp.array([0.0, 1.0, 0.0]), (Np * G, 3))]
+    # --- assemble (Np, C) contact slots.
+    nrm = jnp.concatenate([pc_n.reshape(Np, K, 3), up], axis=1)
+    pts = jnp.concatenate([pc_p.reshape(Np, K, 3), g_pts], axis=1)
+    dep = jnp.concatenate(
+        [pc_d.reshape(Np, K), jnp.maximum(gd, 0.0)], axis=1
     )
-    pts = jnp.concatenate([pc_p, g_pts.reshape(-1, 3)])
-    dep = jnp.concatenate([pc_d, jnp.maximum(gd.reshape(-1), 0.0)])
-    hit = jnp.concatenate([pc_hit, g_hit.reshape(-1)])
-    bA = jnp.concatenate([owner[flat_i], jnp.repeat(owner, G)])
-    bB = jnp.concatenate([owner[flat_j], jnp.full((Np * G,), -1, jnp.int32)])
-    bB_c = jnp.clip(bB, 0, B - 1)
-    is_static = bB < 0
+    hit = jnp.concatenate([pc_hit.reshape(Np, K), g_hit], axis=1)
+    partner_piece = jnp.concatenate(
+        [pidx, jnp.full((Np, G), -1, jnp.int32)], axis=1
+    )
+    is_static = partner_piece < 0
+    partner_body = jnp.where(
+        is_static, 0, owner[jnp.maximum(partner_piece, 0)]
+    )
 
-    # --- 4. solver (Jacobi projected impulses with mass splitting)
+    # --- 4. solver (Jacobi, A-side application only; pairs are mutual).
     inv_m = bodies.inv_mass
     inv_I = world_inv_inertia(bodies.q, bodies.inv_inertia_body)
     gravity = jnp.array([0.0, cfg.gravity, 0.0], wverts.dtype)
-
     v0 = bodies.v + dt * gravity * (inv_m > 0)[:, None]
     w0 = bodies.w
 
-    rA = pts - bodies.x[bA]
-    rB = pts - bodies.x[bB_c]
-    # Effective masses.
-    def k_term(inv_m_b, inv_I_b, r, n):
-        rxn = jnp.cross(r, n)
-        return inv_m_b + jnp.sum(rxn * matvec3(inv_I_b, rxn), -1)
+    myb = owner                                               # (Np,)
+    rA = pts - bodies.x[myb][:, None]                         # (Np, C, 3)
+    rB = pts - bodies.x[partner_body]                         # (Np, C, 3)
+    iA_m = inv_m[myb][:, None]                                # (Np, 1)
+    iB_m = jnp.where(is_static, 0.0, inv_m[partner_body])
+    iA_I = inv_I[myb][:, None]                                # (Np, 1, 3, 3)
+    iB_I = jnp.where(
+        is_static[..., None, None], 0.0, inv_I[partner_body]
+    )
 
-    iA_m, iB_m = inv_m[bA], jnp.where(is_static, 0.0, inv_m[bB_c])
-    iA_I = inv_I[bA]
-    iB_I = jnp.where(is_static[:, None, None], 0.0, inv_I[bB_c])
+    def k_term(im, iI, r, n):
+        rxn = jnp.cross(r, n)
+        return im + jnp.sum(rxn * matvec3(iI, rxn), -1)
+
     kn = k_term(iA_m, iA_I, rA, nrm) + k_term(iB_m, iB_I, rB, nrm)
     m_eff = jnp.where(hit & (kn > 1e-12), 1.0 / jnp.maximum(kn, 1e-12), 0.0)
 
-    # Restitution uses the pre-solve approach velocity.
-    def rel_vel(v, w):
-        vA = v[bA] + jnp.cross(w[bA], rA)
+    def rel_vel2(v, w):
+        vA = v[myb][:, None] + jnp.cross(
+            jnp.broadcast_to(w[myb][:, None], rA.shape), rA
+        )
         vB = jnp.where(
-            is_static[:, None], 0.0, v[bB_c] + jnp.cross(w[bB_c], rB)
+            is_static[..., None],
+            0.0,
+            v[partner_body] + jnp.cross(w[partner_body], rB),
         )
         return vA - vB
 
-    vn0 = jnp.sum(rel_vel(v0, w0) * nrm, axis=-1)
+    vn0 = jnp.sum(rel_vel2(v0, w0) * nrm, axis=-1)
     bounce = -cfg.restitution * jnp.minimum(vn0 + 0.25, 0.0)
     bias = (cfg.baumgarte / dt) * jnp.maximum(dep - cfg.contact_slop, 0.0)
     target = jnp.maximum(bounce, bias)
 
-    # Mass splitting: scale impulses by 1/(contacts per body).
-    ones = hit.astype(wverts.dtype)
-    cnt = (
-        jnp.zeros((B + 1,), wverts.dtype).at[jnp.where(hit, bA, B)].add(ones)
-        + jnp.zeros((B + 1,), wverts.dtype)
-        .at[jnp.where(hit & ~is_static, bB_c, B)]
-        .add(ones)
-    )[:B]
-    split = 1.0 / jnp.maximum(cnt, 1.0)
+    # Mass splitting: per-body contact counts (pair contacts count once per
+    # side; both sides carry the slot, so totals match the scatter version).
+    seg = scene.seg_start
+    cnt_piece = jnp.sum(hit, axis=1, keepdims=True).astype(wverts.dtype)
+    cnt_body = _segment_sums(cnt_piece, seg)[:, 0]             # (B,)
+    split_body = 1.0 / jnp.maximum(cnt_body, 1.0)
 
     mu = cfg.dynamic_friction
 
     def solver_iter(carry, _):
         v, w = carry
-        vr = rel_vel(v, w)
+        vr = rel_vel2(v, w)
         vn = jnp.sum(vr * nrm, axis=-1)
         lam_n = jnp.maximum(-(vn - target) * m_eff, 0.0)
-        # Friction: oppose tangential velocity, clamped by μ λn.
-        vt = vr - vn[:, None] * nrm
+        vt = vr - vn[..., None] * nrm
         vt_len = jnp.linalg.norm(vt, axis=-1)
-        t_dir = vt / jnp.maximum(vt_len, 1e-9)[:, None]
+        t_dir = vt / jnp.maximum(vt_len, 1e-9)[..., None]
         lam_t = jnp.minimum(vt_len * m_eff, mu * lam_n)
         imp = jnp.where(
-            hit[:, None], lam_n[:, None] * nrm - lam_t[:, None] * t_dir, 0.0
+            hit[..., None], lam_n[..., None] * nrm - lam_t[..., None] * t_dir, 0.0
+        )                                                      # (Np, C, 3)
+        sA = split_body[myb][:, None, None]
+        piece_dv = jnp.sum(imp, axis=1) * iA_m * split_body[myb][:, None]
+        dw_terms = matvec3(
+            jnp.broadcast_to(iA_I, rA.shape[:2] + (3, 3)), jnp.cross(rA, imp)
         )
-        sA = split[bA][:, None]
-        sB = split[bB_c][:, None]
-        dvA = imp * iA_m[:, None] * sA
-        dvB = -imp * iB_m[:, None] * sB
-        dwA = matvec3(iA_I, jnp.cross(rA, imp)) * sA
-        dwB = -matvec3(iB_I, jnp.cross(rB, imp)) * sB
-        v = v.at[bA].add(dvA).at[jnp.where(is_static, B, bB_c)].add(
-            dvB, mode="drop"
-        )
-        w = w.at[bA].add(dwA).at[jnp.where(is_static, B, bB_c)].add(
-            dwB, mode="drop"
-        )
+        piece_dw = jnp.sum(dw_terms * sA, axis=1)
+        v = v + _segment_sums(piece_dv, seg)
+        w = w + _segment_sums(piece_dw, seg)
         return (v, w), None
 
     (v1, w1), _ = jax.lax.scan(
@@ -269,12 +274,6 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
         inv_inertia_body=bodies.inv_inertia_body,
         active=act,
     )
-    return PhysicsScene(
-        bodies=new_bodies,
-        piece_owner=scene.piece_owner,
-        piece_valid=scene.piece_valid,
-        piece_verts=scene.piece_verts,
-        piece_vmask=scene.piece_vmask,
-        piece_planes=scene.piece_planes,
-        piece_pmask=scene.piece_pmask,
-    )
+    import dataclasses
+
+    return dataclasses.replace(scene, bodies=new_bodies)

@@ -286,6 +286,8 @@ def _transfer_velocities(
     v_new = v_old + jnp.cross(w_old, phys.bodies.x - x_old)
     v = jnp.where(has[:, None], v_new, 0.0)
     w = jnp.where(has[:, None], w_old, 0.0)
+    import dataclasses
+
     bodies = type(phys.bodies)(
         x=phys.bodies.x,
         q=phys.bodies.q,
@@ -295,12 +297,4 @@ def _transfer_velocities(
         inv_inertia_body=phys.bodies.inv_inertia_body,
         active=phys.bodies.active,
     )
-    return PhysicsScene(
-        bodies=bodies,
-        piece_owner=phys.piece_owner,
-        piece_valid=phys.piece_valid,
-        piece_verts=phys.piece_verts,
-        piece_vmask=phys.piece_vmask,
-        piece_planes=phys.piece_planes,
-        piece_pmask=phys.piece_pmask,
-    )
+    return dataclasses.replace(phys, bodies=bodies)
