@@ -388,13 +388,76 @@ def do_fracture(
     conv, mtris, mmask, mdrop = jax.vmap(clip_row)(src_conv, src_mesh, src_mmask)
 
     # Flatten the (A, C) grid → (A*C,) candidates.
-    N = A * C
-    flat = lambda a: a.reshape((N,) + a.shape[2:])
+    N0 = A * C
+    flat = lambda a: a.reshape((N0,) + a.shape[2:])
     conv = jax.tree_util.tree_map(flat, conv)
     mtris, mmask = flat(mtris), flat(mmask)
     cell_of = jnp.tile(jnp.arange(C, dtype=jnp.int32), (A,))
     src_of = jnp.repeat(jnp.arange(A, dtype=jnp.int32), C)
     src_valid = jnp.repeat(sel_ok, C)
+
+    # --- CheckMeshIsland (Surtr.cpp:2157-2201): a candidate whose clipped
+    # surface splits into disconnected components becomes several pieces
+    # sharing the same convex (refit later shrinks each to its own island's
+    # mesh, Surtr.cpp:1470-1496). Runs on pre-cap surface triangles; capacity
+    # cfg.max_islands per candidate, extra islands stay merged with island 0.
+    ISL = max(1, cfg.max_islands)
+    if ISL > 1:
+        from surtr_tpu.ops.labels import tri_soup_components
+        from surtr_tpu.ops.linalg import compact_big
+
+        # Connectivity must see the closed polyhedron, not just the clipped
+        # surface (the reference labels the capped mesh): surface patches of
+        # a convex fragment may touch only through cut faces. Caps spanning
+        # holes (true islands, e.g. a cut torus) are removed by a
+        # solid-interior filter on cap-triangle centroids.
+        CAP_CONN = 64
+
+        def conn_caps(cv, cell, src_idx):
+            sel = _match_cut_faces(cv, cell.planes, cell.face_mask(), mas)
+            # Face-level solid filter (one point-in-mesh per cut face).
+            sm = cv.slot_mask()[..., None]
+            nvv = jnp.maximum(cv.n_verts, 1)[..., None]
+            fcent = jnp.sum(jnp.where(sm, cv.face_verts, 0.0), axis=-2) / nvv
+            inside = point_in_mesh(fcent, src_mesh[src_idx], src_mmask[src_idx])
+            ct, cm = cut_face_tris(cv, sel & inside)       # (F*(S-2), 3, 3)
+            packed, _ = compact_big(ct.reshape(-1, 9), cm, CAP_CONN)
+            k = jnp.sum(cm)
+            return packed.reshape(CAP_CONN, 3, 3), jnp.arange(CAP_CONN) < k
+
+        cells0 = jax.tree_util.tree_map(lambda a: a[cell_of], cells)
+        cap_t, cap_m = jax.vmap(conn_caps)(conv, cells0, src_of)
+        conn_t = jnp.concatenate([mtris, cap_t], axis=1)
+        conn_m = jnp.concatenate([mmask, cap_m], axis=1)
+        labels = jax.vmap(
+            lambda t, m: tri_soup_components(t, m, iters=cfg.island_label_iters)
+        )(conn_t, conn_m)[:, : mtris.shape[1]]                 # (N0, T)
+        Tcap = conn_t.shape[1]
+        lab_valid = jnp.where(mmask, labels, Tcap)
+        picks = []
+        prev = jnp.full((N0,), -1, jnp.int32)
+        for k in range(ISL):
+            nxt = jnp.min(
+                jnp.where(lab_valid > prev[:, None], lab_valid, Tcap), axis=1
+            ).astype(jnp.int32)
+            picks.append(nxt)
+            prev = nxt
+        picks = jnp.stack(picks, axis=1)                       # (N0, ISL)
+        sub = lab_valid[:, None, :] == picks[:, :, None]       # (N0, ISL, T)
+        # Overflow islands (label beyond the last pick) merge into island 0.
+        overflow = lab_valid[:, None, :] > picks[:, -1:, None]
+        sub = sub.at[:, 0, :].set(sub[:, 0, :] | overflow[:, 0, :])
+        sub = sub & mmask[:, None, :]
+        island_of = jnp.tile(jnp.arange(ISL, dtype=jnp.int32), (N0,))
+        rep = lambda a: jnp.repeat(a, ISL, axis=0)
+        conv = jax.tree_util.tree_map(rep, conv)
+        mtris = rep(mtris)
+        mmask = sub.reshape(N0 * ISL, mtris.shape[1])
+        cell_of, src_of, src_valid = rep(cell_of), rep(src_of), rep(src_valid)
+        # Non-primary islands exist only if they actually own triangles.
+        has_tris = jnp.any(mmask, axis=1)
+        src_valid = src_valid & ((island_of == 0) | has_tris)
+    N = conv.n_verts.shape[0]
     cells_flat = jax.tree_util.tree_map(lambda a: a[cell_of], cells)
 
     # Occupancy / refit / caps against each candidate's *source piece* solid.

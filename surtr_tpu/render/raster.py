@@ -126,7 +126,9 @@ def rasterize_ids(
     return depth, tid
 
 
-@functools.partial(jax.jit, static_argnames=("W", "H", "shadow_size", "cfg"))
+@functools.partial(
+    jax.jit, static_argnames=("W", "H", "shadow_size", "cfg", "wireframe")
+)
 def render_scene(
     tris_world: jax.Array,
     valid: jax.Array,
@@ -138,6 +140,7 @@ def render_scene(
     H: int = 512,
     shadow_size: int = 1024,
     cfg=None,
+    wireframe: bool = False,
 ):
     """Full two-pass frame. colors: (T, 3) per-triangle base color.
 
@@ -208,6 +211,11 @@ def render_scene(
 
     base = colors[t]
     lit = base * (ambient + diffuse * shadow)[..., None]
+    if wireframe:
+        # Edge overlay from screen barycentrics (the analogue of the
+        # reference's wireframe PSOs, Surtr.cpp:1010-1032).
+        edge = jnp.minimum(jnp.minimum(w0, w1), w2)
+        lit = jnp.where((edge < 0.03)[..., None], lit * 0.15, lit)
     bg = jnp.asarray([0.12, 0.15, 0.18], jnp.float32)
     img = jnp.where(hit[..., None], lit, bg)
     return jnp.clip(img, 0.0, 1.0), depth

@@ -141,8 +141,37 @@ class Scene:
         return float(jnp.where(self.pieces.valid, v, 0).sum())
 
     # ------------------------------------------------------------------
+    def stats(self) -> dict:
+        """Structured per-step observability (SURVEY §5 metrics: fragment
+        count, volumes, body velocities) — the analogue of the reference's
+        imgui result panel + debug prints."""
+        import numpy as np
+
+        from surtr_tpu.ops.moments import moments
+
+        act = np.asarray(self.phys.bodies.active)
+        v = np.asarray(self.phys.bodies.v)[act]
+        w = np.asarray(self.phys.bodies.w)[act]
+        vols, _ = moments(self.pieces.convex)
+        inv_m = np.asarray(self.phys.bodies.inv_mass)[act]
+        m = np.where(inv_m > 0, 1.0 / np.maximum(inv_m, 1e-12), 0.0)
+        ke = float(0.5 * (m * (v**2).sum(1)).sum())
+        return {
+            "time": self.time,
+            "pieces": self.num_pieces(),
+            "bodies": int(act.sum()),
+            "total_volume": float(
+                jnp.where(self.pieces.valid, vols, 0).sum()
+            ),
+            "kinetic_energy": ke,
+            "max_speed": float(np.abs(v).max()) if len(v) else 0.0,
+            "max_spin": float(np.abs(w).max()) if len(w) else 0.0,
+            "events": len(self.events),
+        }
+
     def render(self, eye=(8.0, 6.0, 8.0), target=(0.0, 1.0, 0.0),
-               light_dir=(-0.4, -1.0, -0.3)):
+               light_dir=(-0.4, -1.0, -0.3), wireframe=False,
+               highlight_last_impact=True):
         """Shadow-mapped frame of the current state (reference render passes,
         Surtr.cpp:370-664). Returns (H, W, 3) float image."""
         from surtr_tpu.render.camera import light_view_proj, look_at, perspective
@@ -175,6 +204,16 @@ class Scene:
         h = (pid * jnp.uint32(2654435761)) >> jnp.uint32(24)
         tint = 0.38 + (h.astype(jnp.float32) / 255.0) * 0.22
         colors = jnp.stack([tint, tint, tint], axis=-1)
+        # Debug coloring of the last impact's fragments (the reference's
+        # DebugValue red tint, Shader.hlsli:86-89).
+        if highlight_last_impact and self.events:
+            fresh = jnp.repeat(self.pieces.tag < 0, T) & jnp.repeat(
+                self.pieces.valid, T
+            )
+            red = jnp.stack(
+                [tint * 1.8 + 0.15, tint * 0.7, tint * 0.7], axis=-1
+            )
+            colors = jnp.where(fresh[:, None], red, colors)
         gcol = jnp.full((ng, 3), 0.45, jnp.float32)
         colors = jnp.concatenate([colors, gcol])
 
@@ -186,7 +225,7 @@ class Scene:
             tris, tvalid, colors, proj @ view, lvp,
             jnp.asarray(light_dir, jnp.float32),
             W=rcfg.width, H=rcfg.height, shadow_size=rcfg.shadow_size,
-            cfg=rcfg,
+            cfg=rcfg, wireframe=wireframe,
         )
         return img
 

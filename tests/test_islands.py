@@ -1,0 +1,108 @@
+"""Mesh-island splitting inside do_fracture (CheckMeshIsland semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from surtr_tpu.config import FractureConfig
+from surtr_tpu.fracture.pipeline import do_fracture, prepare_fracture
+from surtr_tpu.fracture.types import FractureContext, PieceSet
+from surtr_tpu.io.models import box, sphere_point_cloud
+from surtr_tpu.fracture.pattern import pattern_cells, uniform_seeds
+from surtr_tpu.types import scale_poly, unit_cube
+
+
+def test_disconnected_mesh_splits_into_islands():
+    """A piece whose visual mesh is two disjoint chunks becomes two pieces
+    (sharing the convex) that land in different compounds."""
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=4,
+        max_pieces=32,
+        max_piece_tris=64,
+        max_active_pieces=2,
+        partial_pattern_cell_cnt=2,
+        general_pattern_cell_cnt=2,
+        voronoi_neighbors=3,
+        max_islands=2,
+        partial_fracture=False,
+    )
+    F, S, T = cfg.max_faces, cfg.max_face_verts, cfg.max_piece_tris
+
+    # One piece: convex = big box spanning both chunks; mesh = two small
+    # boxes at x = ±2.
+    big = scale_poly(unit_cube(F=F, S=S), jnp.array([6.0, 1.0, 1.0]))
+    v1, f1 = box((1, 1, 1), center=(-2, 0, 0))
+    v2, f2 = box((1, 1, 1), center=(2, 0, 0))
+    tris = np.concatenate([v1[f1], v2[f2]])
+    mesh = np.zeros((T, 3, 3), np.float32)
+    mesh[: len(tris)] = tris
+    mmask = np.zeros(T, bool)
+    mmask[: len(tris)] = True
+
+    P = cfg.max_pieces
+    pieces = PieceSet(
+        convex=jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a[None], jnp.zeros((P - 1,) + a.shape, a.dtype)]
+            ),
+            big,
+        ),
+        mesh=jnp.asarray(np.concatenate([mesh[None], np.zeros((P - 1, T, 3, 3), np.float32)])),
+        mesh_valid=jnp.asarray(np.concatenate([mmask[None], np.zeros((P - 1, T), bool)])),
+        valid=jnp.zeros((P,), bool).at[0].set(True),
+        group=jnp.full((P,), -1, jnp.int32).at[0].set(0),
+        tag=jnp.full((P,), -1, jnp.int32),
+    )
+    # Pattern with 2 huge cells (scaled ×2·mas they cover everything).
+    seeds = jnp.asarray([[-0.25, 0, 0], [0.25, 0, 0]], jnp.float32)
+    pat = pattern_cells(seeds, k=None, F=F, S=S)
+    ctx = FractureContext(
+        bb_center=jnp.zeros(3),
+        bb_min=jnp.array([-3.0, -0.5, -0.5]),
+        bb_max=jnp.array([3.0, 0.5, 0.5]),
+        max_axis_scale=jnp.asarray(6.0),
+        partial_pattern=pat,
+        general_pattern=pat,
+        sphere_cloud=jnp.asarray(sphere_point_cloud()),
+    )
+    out, met = do_fracture(
+        pieces, ctx, jnp.zeros(3), 0, cfg, partial=False
+    )
+    valid = np.asarray(out.valid)
+    groups = np.asarray(out.group)[valid]
+    meshes = np.asarray(out.mesh_valid)[valid]
+    centers = []
+    for i in range(valid.sum()):
+        tri = np.asarray(out.mesh)[valid][i][meshes[i]]
+        if len(tri):
+            centers.append(tri.reshape(-1, 3).mean(0)[0])
+    # The two chunks ended up in different pieces AND different groups.
+    assert len(set(groups.tolist())) >= 2
+    assert any(c < -1 for c in centers) and any(c > 1 for c in centers)
+
+
+def test_islands_disabled_keeps_single_piece():
+    cfg_kwargs = dict(
+        initial_decompose_cell_cnt=8,
+        max_pieces=64,
+        max_piece_tris=96,
+        max_active_pieces=4,
+        partial_pattern_cell_cnt=8,
+        general_pattern_cell_cnt=8,
+        voronoi_neighbors=7,
+    )
+    v, f = box((2, 2, 2))
+    cloud = jnp.asarray(sphere_point_cloud())
+    for isl in (1, 2):
+        cfg = FractureConfig(max_islands=isl, **cfg_kwargs)
+        pieces, ctx, _ = prepare_fracture(
+            jnp.asarray(v), jnp.ones(len(v), bool), jnp.asarray(v[f]),
+            jnp.ones(len(f), bool), cloud, jax.random.PRNGKey(1), cfg,
+        )
+        out, met = do_fracture(pieces, ctx, jnp.array([1.0, 1.0, 1.0]), 0, cfg)
+        # Convex cube fragments never split into islands: totals match.
+        from surtr_tpu.ops.moments import moments
+
+        vols, _ = moments(out.convex)
+        total = float(jnp.where(out.valid, vols, 0).sum())
+        assert np.isclose(total, 8.0, rtol=2e-3), (isl, total)
