@@ -45,9 +45,14 @@ class FractureConfig:
     voronoi_neighbors: int = 48  # k-nearest seeds whose bisectors clip a cell
     max_mesh_tris: int = 2048    # visual-mesh triangle capacity per compound
     max_piece_tris: int = 512    # visual-mesh triangle capacity per piece
-    max_islands: int = 2         # mesh-island splits per fragment
+    max_islands: int = 1         # mesh-island splits per fragment
                                  # (CheckMeshIsland, Surtr.cpp:2157-2201;
-                                 # 1 disables splitting)
+                                 # 1 disables splitting). Opt-in: the
+                                 # coincidence labeling can split thin
+                                 # fragments whose surface patches connect
+                                 # only via unstitched cap geometry, which
+                                 # duplicates convex volume — see PARITY.md
+                                 # divergence 3.
     island_label_iters: int = 12 # label-propagation rounds per labeling
 
     # f32 tolerance at unit scale (reference: 1e-10 in f64, Poly.cpp:718).

@@ -114,13 +114,13 @@ def _append_tris(base, base_mask, extra, extra_mask):
     """Pack extra triangles into the free tail of a padded triangle buffer
     (single-piece layout; callers vmap). Scatter-free: one chunked
     compaction over the concatenated pools."""
-    from surtr_tpu.ops.linalg import compact_big
+    from surtr_tpu.ops.linalg import compact
 
     T = base.shape[-3]
     vals = jnp.concatenate([base, extra]).reshape(-1, 9)
     flags = jnp.concatenate([base_mask, extra_mask])
     total = jnp.sum(flags)
-    out, _ = compact_big(vals, flags, T)
+    out, _ = compact(vals, flags, T)
     out_mask = jnp.arange(T) < total
     dropped = jnp.maximum(total - T, 0)
     return out.reshape(T, 3, 3), out_mask, dropped
@@ -140,6 +140,39 @@ def refit_convex(
     enough = jnp.sum(vmask) >= 4
     out = clip_poly_planes(convex, planes, pm & enough)
     return out
+
+
+def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
+    """Per-seed half-space sets in world space: the 6 domain faces + the
+    k-nearest bisectors, all computed in unit space (voro++ container parity)
+    and transformed by the reference's anisotropic scale + translate
+    (Surtr.cpp:1798-1803). Returns ((C, k+6, 4), (C, k+6) mask)."""
+    from surtr_tpu.ops.voronoi import bisector_planes
+
+    C = seeds.shape[0]
+    d2 = jnp.sum((seeds[:, None] - seeds[None]) ** 2, axis=-1)
+    big = jnp.asarray(BIG, seeds.dtype)
+    d2 = jnp.fill_diagonal(d2, big, inplace=False)
+    _, idx = jax.lax.top_k(-d2, k)                       # nearest first
+
+    def one(seed, nbr):
+        bp, bm = bisector_planes(seed, seeds[nbr], jnp.ones((k,), bool))
+        axes = jnp.concatenate([jnp.eye(3), -jnp.eye(3)]).astype(seeds.dtype)
+        dom = jnp.concatenate([axes, jnp.full((6, 1), -0.5, seeds.dtype)], 1)
+        return (
+            jnp.concatenate([dom, bp]),
+            jnp.concatenate([jnp.ones((6,), bool), bm]),
+        )
+
+    planes_u, pmask = jax.vmap(one)(seeds, idx)          # (C, k+6, 4)
+    # Anisotropic scale about the origin, then translate (scale_poly math).
+    n = planes_u[..., :3] / extent
+    ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+    safe = jnp.where(ln > 0, ln, 1.0)
+    n = n / safe
+    d = planes_u[..., 3:4] / safe
+    d = d - jnp.sum(n * center, axis=-1, keepdims=True)
+    return jnp.concatenate([n, d], axis=-1), pmask
 
 
 # ----------------------------------------------------------------------------
@@ -190,11 +223,15 @@ def prepare_fracture(
     )
     ach = clip_poly_planes(ach, planes, pm)
 
-    # 8. Initial Voronoi cells scaled to the BB (Surtr.cpp:1798-1803).
+    # 8. Initial Voronoi decomposition (Surtr.cpp:1798-1803). The cells are
+    # only ever consumed as half-space lists, so the one-shot decomposition
+    # skips cell construction entirely: per seed, the k-nearest bisectors +
+    # the 6 domain planes ARE the cell (redundant half-spaces clip as no-ops).
+    # This halves the decomposition cost vs building cell geometry first.
     k0, k1, k2 = jax.random.split(key, 3)
     seeds = uniform_seeds(k0, C)
-    cells = pattern_cells(seeds, k=min(cfg.voronoi_neighbors, C - 1), F=F, S=S)
-    cells = translate_poly(scale_poly(cells, extent), bb_center)
+    kN = min(cfg.voronoi_neighbors, C - 1)
+    cell_planes, cell_pmask = _cell_plane_sets(seeds, kN, extent, bb_center)
 
     # 9. Impact fracture patterns, cached in unit space (Surtr.cpp:1806-1807).
     # Radial clouds are extremely clustered: use all-pairs bisectors (k=None),
@@ -220,17 +257,18 @@ def prepare_fracture(
 
     # 10. Initial pieces: ACH ∩ cell, mesh ∩ cell (ApplyFracture on the
     # single pre-compound, Surtr.cpp:1810-1811).
-    conv = jax.vmap(lambda cell: clip_poly_poly(ach, cell))(cells)
+    conv = jax.vmap(lambda pl, pm_: clip_poly_planes(ach, pl, pm_))(
+        cell_planes, cell_pmask
+    )
 
-    def mesh_one(cell):
-        return clip_trisoup(
-            tri_corners, tmask, cell.planes, cell.face_mask(), max_out=Tp
-        )
+    def mesh_one(pl, pm_):
+        return clip_trisoup(tri_corners, tmask, pl, pm_, max_out=Tp)
 
-    mtris, mmask, mdrop = jax.vmap(mesh_one)(cells)
+    mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
 
     out = _finish_pieces(
-        conv, mtris, mmask, cells, tri_corners, tmask, mas, cfg
+        conv, mtris, mmask, cell_planes, cell_pmask, tri_corners, tmask,
+        mas, cfg,
     )
     conv, mtris, mmask, cand_valid = out
 
@@ -251,9 +289,13 @@ def prepare_fracture(
     return pieces, ctx, metrics
 
 
-def _finish_pieces(conv, mtris, mmask, cells, solid_corners, solid_mask, mas, cfg):
+def _finish_pieces(
+    conv, mtris, mmask, cut_planes, cut_mask, solid_corners, solid_mask, mas, cfg
+):
     """Shared tail of both fracture entry points: occupancy test, refit,
-    cap generation. All inputs batched over candidates (leading axis)."""
+    cap generation. All inputs batched over candidates (leading axis);
+    cut_planes/cut_mask are the half-spaces that produced each candidate
+    ((N, Kc, 4) / (N, Kc))."""
     F, S = cfg.max_faces, cfg.max_face_verts
 
     # Occupancy: surface triangles present, or convex centroid inside the
@@ -265,8 +307,8 @@ def _finish_pieces(conv, mtris, mmask, cells, solid_corners, solid_mask, mas, cf
     cand_valid = ~conv.is_empty() & (has_tris | inside)
 
     # Refit vertex pool: clipped surface corners + pre-refit cut-face verts.
-    def refit_one(cv, tris, tmask_, cell):
-        cut_sel = _match_cut_faces(cv, cell.planes, cell.face_mask(), mas)
+    def refit_one(cv, tris, tmask_, planes_, pmask_):
+        cut_sel = _match_cut_faces(cv, planes_, pmask_, mas)
         cap_v = cv.face_verts.reshape(-1, 3)
         cap_m = (cv.slot_mask() & cut_sel[:, None]).reshape(-1)
         surf_v = tris.reshape(-1, 3)
@@ -275,12 +317,14 @@ def _finish_pieces(conv, mtris, mmask, cells, solid_corners, solid_mask, mas, cf
         pool_m = jnp.concatenate([surf_m, cap_m])
         refit = refit_convex(cv, pool, pool_m, cfg.refitting_point_limit)
         # Caps from the refit convex's cut faces.
-        cut2 = _match_cut_faces(refit, cell.planes, cell.face_mask(), mas)
+        cut2 = _match_cut_faces(refit, planes_, pmask_, mas)
         cap_tris, cap_mask = cut_face_tris(refit, cut2)
         tris2, tmask2, _ = _append_tris(tris, tmask_, cap_tris, cap_mask)
         return refit, tris2, tmask2
 
-    conv2, mtris2, mmask2 = jax.vmap(refit_one)(conv, mtris, mmask, cells)
+    conv2, mtris2, mmask2 = jax.vmap(refit_one)(
+        conv, mtris, mmask, cut_planes, cut_mask
+    )
 
     # Invalidate empties.
     nv = jnp.where(cand_valid[:, None], conv2.n_verts, 0)
@@ -404,7 +448,7 @@ def do_fracture(
     ISL = max(1, cfg.max_islands)
     if ISL > 1:
         from surtr_tpu.ops.labels import tri_soup_components
-        from surtr_tpu.ops.linalg import compact_big
+        from surtr_tpu.ops.linalg import compact
 
         # Connectivity must see the closed polyhedron, not just the clipped
         # surface (the reference labels the capped mesh): surface patches of
@@ -413,26 +457,37 @@ def do_fracture(
         # solid-interior filter on cap-triangle centroids.
         CAP_CONN = 64
 
-        def conn_caps(cv, cell, src_idx):
-            sel = _match_cut_faces(cv, cell.planes, cell.face_mask(), mas)
-            # Face-level solid filter (one point-in-mesh per cut face).
+        def conn_caps(cv, cpl, cpm, src_idx):
+            sel = _match_cut_faces(cv, cpl, cpm, mas)
+            # Face-level solid filter (one point-in-mesh per cut face). The
+            # probe sits slightly *behind* the cut plane (into the material):
+            # a centroid exactly on the approximate closed surface gives an
+            # unreliable ray parity and spurious splits duplicate convex
+            # volume. Faces over true holes stay outside either way.
             sm = cv.slot_mask()[..., None]
             nvv = jnp.maximum(cv.n_verts, 1)[..., None]
             fcent = jnp.sum(jnp.where(sm, cv.face_verts, 0.0), axis=-2) / nvv
-            inside = point_in_mesh(fcent, src_mesh[src_idx], src_mmask[src_idx])
+            probe = fcent - cv.planes[..., :3] * (1e-3 * mas)
+            inside = point_in_mesh(probe, src_mesh[src_idx], src_mmask[src_idx])
             ct, cm = cut_face_tris(cv, sel & inside)       # (F*(S-2), 3, 3)
-            packed, _ = compact_big(ct.reshape(-1, 9), cm, CAP_CONN)
+            packed, _ = compact(ct.reshape(-1, 9), cm, CAP_CONN)
             k = jnp.sum(cm)
             return packed.reshape(CAP_CONN, 3, 3), jnp.arange(CAP_CONN) < k
 
-        cells0 = jax.tree_util.tree_map(lambda a: a[cell_of], cells)
-        cap_t, cap_m = jax.vmap(conn_caps)(conv, cells0, src_of)
-        conn_t = jnp.concatenate([mtris, cap_t], axis=1)
-        conn_m = jnp.concatenate([mmask, cap_m], axis=1)
+        cap_t, cap_m = jax.vmap(conn_caps)(
+            conv, cells.planes[cell_of], cells.face_mask()[cell_of], src_of
+        )
+        # Vertex-coincidence labels over the clipped SURFACE triangles only —
+        # cap geometry never shares vertices with the surface (computed from
+        # different intersections), so caps cannot be labeled; instead,
+        # distinct surface components are MERGED when the midpoint between
+        # them lies inside the candidate's (approximately closed) solid:
+        # patches joined through material stay one piece, chunks across a
+        # hole split.
         labels = jax.vmap(
             lambda t, m: tri_soup_components(t, m, iters=cfg.island_label_iters)
-        )(conn_t, conn_m)[:, : mtris.shape[1]]                 # (N0, T)
-        Tcap = conn_t.shape[1]
+        )(mtris, mmask)                                        # (N0, T)
+        Tcap = mtris.shape[1] + 1
         lab_valid = jnp.where(mmask, labels, Tcap)
         picks = []
         prev = jnp.full((N0,), -1, jnp.int32)
@@ -448,6 +503,41 @@ def do_fracture(
         overflow = lab_valid[:, None, :] > picks[:, -1:, None]
         sub = sub.at[:, 0, :].set(sub[:, 0, :] | overflow[:, 0, :])
         sub = sub & mmask[:, None, :]
+
+        # Solid-midpoint merge test between the primary and each later island.
+        closed_t = jnp.concatenate([mtris, cap_t], axis=1)
+        closed_m = jnp.concatenate([mmask, cap_m], axis=1)
+        tri_cent = jnp.mean(mtris, axis=-2)                    # (N0, T, 3)
+        c_all = jax.vmap(
+            lambda w, tc: jnp.stack(
+                [
+                    jnp.sum(jnp.where(w[k][:, None], tc, 0.0), axis=0)
+                    / jnp.maximum(jnp.sum(w[k]), 1)
+                    for k in range(ISL)
+                ]
+            )
+        )(sub, tri_cent)                                       # (N0, ISL, 3)
+
+        def merge_test(c0, ck, t, m):
+            mid = (c0 + ck) * 0.5
+            return point_in_mesh(mid[None], t, m)[0]
+
+        merged = []
+        for k in range(1, ISL):
+            exists = jnp.any(sub[:, k, :], axis=-1)
+            inside_mid = jax.vmap(merge_test)(
+                c_all[:, 0], c_all[:, k], closed_t, closed_m
+            )
+            merged.append(exists & inside_mid)
+        if merged:
+            merge_k = jnp.stack(merged, axis=1)                # (N0, ISL-1)
+            # Fold merged islands into island 0; blank their own slot.
+            absorbed = jnp.zeros_like(sub[:, 0, :])
+            for k in range(1, ISL):
+                mk = merge_k[:, k - 1][:, None]
+                absorbed = absorbed | (sub[:, k, :] & mk)
+                sub = sub.at[:, k, :].set(sub[:, k, :] & ~mk)
+            sub = sub.at[:, 0, :].set(sub[:, 0, :] | absorbed)
         island_of = jnp.tile(jnp.arange(ISL, dtype=jnp.int32), (N0,))
         rep = lambda a: jnp.repeat(a, ISL, axis=0)
         conv = jax.tree_util.tree_map(rep, conv)
@@ -458,15 +548,17 @@ def do_fracture(
         has_tris = jnp.any(mmask, axis=1)
         src_valid = src_valid & ((island_of == 0) | has_tris)
     N = conv.n_verts.shape[0]
-    cells_flat = jax.tree_util.tree_map(lambda a: a[cell_of], cells)
+    cplanes_flat = cells.planes[cell_of]
+    cpmask_flat = cells.face_mask()[cell_of]
 
     # Occupancy / refit / caps against each candidate's *source piece* solid.
-    def finish_one(cv, mt, mm, cell, src_idx):
+    def finish_one(cv, mt, mm, cpl, cpm, src_idx):
         out = _finish_pieces(
             jax.tree_util.tree_map(lambda a: a[None], cv),
             mt[None],
             mm[None],
-            jax.tree_util.tree_map(lambda a: a[None], cell),
+            cpl[None],
+            cpm[None],
             src_mesh[src_idx],
             src_mmask[src_idx],
             mas,
@@ -481,7 +573,7 @@ def do_fracture(
         )
 
     conv2, mtris2, mmask2, cand_valid = jax.vmap(finish_one)(
-        conv, mtris, mmask, cells_flat, src_of
+        conv, mtris, mmask, cplanes_flat, cpmask_flat, src_of
     )
     cand_valid = cand_valid & src_valid
 

@@ -48,6 +48,13 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
     flags = jnp.stack([kept, cross], -1).reshape(T, 2 * S)
     vals = jnp.stack([poly, p_cut], -2).reshape(T, 2 * S, 3)
     out, n_out = compact(vals, flags, S)
+    # Drop polygons lying wholly IN the cutting plane when the plane actually
+    # removes material: they are old cap geometry on this plane, and the new
+    # cap face re-covers the full cross-section — keeping both double-layers
+    # the surface (breaks ray parity and island labeling).
+    inplane = jnp.all((jnp.abs(dist) <= tol) | ~m, axis=1) & (n_vert > 0)
+    any_removed = jnp.any(m & (dist > tol))
+    n_out = jnp.where(inplane & any_removed, 0, n_out)
     return out, jnp.where(n_out >= 3, n_out, 0)
 
 
@@ -97,12 +104,12 @@ def clip_trisoup(
         ],
         axis=2,
     )                                                        # (T, S, 3, 3)
-    from surtr_tpu.ops.linalg import compact_big
+    from surtr_tpu.ops.linalg import compact
 
     flat_ok = fan_ok.reshape(-1)
     flat_tris = tris.reshape(-1, 9)
     total = jnp.sum(flat_ok)
-    out, _ = compact_big(flat_tris, flat_ok, max_out)
+    out, _ = compact(flat_tris, flat_ok, max_out)
     out = out.reshape(max_out, 3, 3)
     out_valid = jnp.arange(max_out) < total
     dropped = jnp.maximum(total - max_out, 0)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from surtr_tpu.config import PhysicsConfig
 from surtr_tpu.ops.kdop import dop26_directions
-from surtr_tpu.ops.linalg import matvec3, supports
+from surtr_tpu.ops.linalg import matvec3
 from surtr_tpu.physics.rigid import quat_integrate, quat_to_mat, world_inv_inertia
 from surtr_tpu.physics.scene import PhysicsScene, piece_world_verts
 
@@ -124,44 +124,80 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])    # (Np, F, 3)
     base = dop26_directions(wverts.dtype)                      # (13, 3)
 
-    def pair_contact(i, j, ok):
-        axes = jnp.concatenate([base, wplanes_n[i], wplanes_n[j]], axis=0)
-        amask = jnp.concatenate(
-            [
-                jnp.ones((base.shape[0],), bool),
-                scene.piece_pmask[i],
-                scene.piece_pmask[j],
-            ]
-        )
-        si = supports(wverts[i], axes)  # (Vh, D) — reused for min via mask
-        sj = supports(wverts[j], axes)
-        mi = wmask[i][:, None]
-        mj = wmask[j][:, None]
-        si_max = jnp.max(jnp.where(mi, si, -BIG), axis=0)
-        si_min = jnp.min(jnp.where(mi, si, BIG), axis=0)
-        sj_max = jnp.max(jnp.where(mj, sj, -BIG), axis=0)
-        sj_min = jnp.min(jnp.where(mj, sj, BIG), axis=0)
-        ov = jnp.minimum(si_max, sj_max) - jnp.maximum(si_min, sj_min)
-        ov = jnp.where(amask, ov, BIG)
-        a = jnp.argmin(ov)
-        depth = ov[a]
-        axis = axes[a]
-        flip = (si_max + si_min) < (sj_max + sj_min)
-        # n points from partner j toward piece i (i receives +n impulse).
-        n = jnp.where(flip[a], -axis, axis)
-        ti = jnp.sum(wverts[i] * -n, axis=-1)
-        tj = jnp.sum(wverts[j] * n, axis=-1)
-        pi = wverts[i][jnp.argmax(jnp.where(wmask[i], ti, -BIG))]
-        pj = wverts[j][jnp.argmax(jnp.where(wmask[j], tj, -BIG))]
-        point = 0.5 * (pi + pj)
-        hit = ok & (depth > -cfg.contact_slop) & (depth < BIG / 2)
-        return n, point, jnp.maximum(depth, 0.0), hit
+    # Gather-count discipline: each big batched gather costs ~ms on the
+    # tunnel regardless of payload, so the j-side hull data is packed into
+    # ONE contiguous array and gathered once; the i-side needs no gather at
+    # all (broadcast along the K axis).
+    Vh = wverts.shape[1]
+    Fp = wplanes_n.shape[1]
+    packed = jnp.concatenate(
+        [
+            wverts.reshape(Np, Vh * 3),
+            wmask.astype(wverts.dtype),
+            wplanes_n.reshape(Np, Fp * 3),
+            scene.piece_pmask.astype(wverts.dtype),
+        ],
+        axis=1,
+    )                                                          # (Np, D)
+    pj = packed[pidx]                                          # (Np, K, D)
+    o = 0
+    jverts = pj[..., o : o + Vh * 3].reshape(Np, K, Vh, 3); o += Vh * 3
+    jmask = pj[..., o : o + Vh] > 0.5; o += Vh
+    jplanes = pj[..., o : o + Fp * 3].reshape(Np, K, Fp, 3); o += Fp * 3
+    jpmask = pj[..., o : o + Fp] > 0.5
 
-    flat_i = jnp.repeat(jnp.arange(Np, dtype=jnp.int32), K)
-    flat_j = pidx.reshape(-1)
-    pc_n, pc_p, pc_d, pc_hit = jax.vmap(pair_contact)(
-        flat_i, flat_j, pok.reshape(-1)
+    nA = base.shape[0]
+    D = nA + 2 * Fp
+    axes = jnp.concatenate(
+        [
+            jnp.broadcast_to(base[None, None], (Np, K, nA, 3)),
+            jnp.broadcast_to(wplanes_n[:, None], (Np, K, Fp, 3)),
+            jplanes,
+        ],
+        axis=2,
+    )                                                          # (Np, K, D, 3)
+    amask = jnp.concatenate(
+        [
+            jnp.ones((Np, K, nA), bool),
+            jnp.broadcast_to(scene.piece_pmask[:, None], (Np, K, Fp)),
+            jpmask,
+        ],
+        axis=2,
     )
+    # Supports of i (broadcast) and j along all D axes.
+    si = jnp.sum(
+        wverts[:, None, :, None, :] * axes[:, :, None, :, :], axis=-1
+    )                                                          # (Np, K, Vh, D)
+    sj = jnp.sum(jverts[..., None, :] * axes[:, :, None, :, :], axis=-1)
+    mi = wmask[:, None, :, None]
+    mj = jmask[..., None]
+    si_max = jnp.max(jnp.where(mi, si, -BIG), axis=2)
+    si_min = jnp.min(jnp.where(mi, si, BIG), axis=2)
+    sj_max = jnp.max(jnp.where(mj, sj, -BIG), axis=2)
+    sj_min = jnp.min(jnp.where(mj, sj, BIG), axis=2)
+    ov = jnp.minimum(si_max, sj_max) - jnp.maximum(si_min, sj_min)
+    ov = jnp.where(amask, ov, BIG)                             # (Np, K, D)
+    a = jnp.argmin(ov, axis=-1)
+    depth = jnp.take_along_axis(ov, a[..., None], axis=-1)[..., 0]
+    axis_sel = jnp.take_along_axis(
+        axes, a[..., None, None], axis=2
+    )[..., 0, :]                                               # (Np, K, 3)
+    mid_i = jnp.take_along_axis(si_max + si_min, a[..., None], -1)[..., 0]
+    mid_j = jnp.take_along_axis(sj_max + sj_min, a[..., None], -1)[..., 0]
+    flip = mid_i < mid_j
+    pc_n = jnp.where(flip[..., None], -axis_sel, axis_sel)
+    # Deepest supports along the contact normal.
+    ti = jnp.sum(wverts[:, None] * -pc_n[:, :, None, :], axis=-1)
+    tj = jnp.sum(jverts * pc_n[:, :, None, :], axis=-1)
+    pi_idx = jnp.argmax(jnp.where(wmask[:, None], ti, -BIG), axis=-1)  # (Np, K)
+    pj_idx = jnp.argmax(jnp.where(jmask, tj, -BIG), axis=-1)
+    pi_pt = jnp.take_along_axis(wverts, pi_idx[..., None], axis=1)  # (Np, K, 3)
+    pj_pt = jnp.take_along_axis(
+        jverts, pj_idx[..., None, None], axis=2
+    )[:, :, 0, :]
+    pc_p = 0.5 * (pi_pt + pj_pt)
+    pc_hit = pok & (depth > -cfg.contact_slop) & (depth < BIG / 2)
+    pc_d = jnp.maximum(depth, 0.0)
 
     # --- 3b. ground contacts: deepest G verts below y = ground_y.
     depth_v = cfg.ground_y - wverts[..., 1]
@@ -172,12 +208,10 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     up = jnp.zeros((Np, G, 3), wverts.dtype).at[..., 1].set(1.0)
 
     # --- assemble (Np, C) contact slots.
-    nrm = jnp.concatenate([pc_n.reshape(Np, K, 3), up], axis=1)
-    pts = jnp.concatenate([pc_p.reshape(Np, K, 3), g_pts], axis=1)
-    dep = jnp.concatenate(
-        [pc_d.reshape(Np, K), jnp.maximum(gd, 0.0)], axis=1
-    )
-    hit = jnp.concatenate([pc_hit.reshape(Np, K), g_hit], axis=1)
+    nrm = jnp.concatenate([pc_n, up], axis=1)
+    pts = jnp.concatenate([pc_p, g_pts], axis=1)
+    dep = jnp.concatenate([pc_d, jnp.maximum(gd, 0.0)], axis=1)
+    hit = jnp.concatenate([pc_hit, g_hit], axis=1)
     partner_piece = jnp.concatenate(
         [pidx, jnp.full((Np, G), -1, jnp.int32)], axis=1
     )

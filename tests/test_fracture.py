@@ -177,7 +177,6 @@ def test_medium_config_impact_conserves_volume():
             partial_pattern_cell_cnt=48,
             general_pattern_cell_cnt=16,
             max_piece_tris=128,
-            max_islands=2,
         )
     )
     sc = Scene("cube", cfg)
