@@ -187,6 +187,32 @@ def bench_cube32():
     return ms
 
 
+def bench_render(size=512, shadow=512):
+    """Config 4 tail: one shadow-mapped frame of a fractured scene."""
+    import numpy as np
+
+    from surtr_tpu.render.camera import light_view_proj, look_at, perspective
+    from surtr_tpu.render.raster import render_scene
+
+    rng = np.random.default_rng(0)
+    T = 4096  # fragment-scene scale triangle load
+    centers = rng.uniform(-4, 4, (T, 1, 3)).astype(np.float32)
+    tris = jnp.asarray(centers + rng.normal(0, 0.3, (T, 3, 3)).astype(np.float32))
+    valid = jnp.ones((T,), bool)
+    colors = jnp.full((T, 3), 0.5)
+    cam = perspective(45, 1.0, 0.1, 100) @ look_at((8, 6, 8), (0, 0, 0))
+    ldir = jnp.asarray([-0.4, -1.0, -0.3])
+    lvp = light_view_proj(ldir, (0, 0, 0), 8.0)
+
+    def run(t):
+        img, _ = render_scene(
+            t, valid, colors, cam, lvp, ldir, W=size, H=size, shadow_size=shadow
+        )
+        return img
+
+    return timeit(run, tris, warmup=2, iters=5)
+
+
 def main():
     backend = jax.default_backend()
     t0 = time.time()
@@ -197,6 +223,8 @@ def main():
     log(f"[bench] physics_10k={phys_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     cube_ms = bench_cube32()
     log(f"[bench] cube32={cube_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
+    render_ms = bench_render()
+    log(f"[bench] render={render_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     total = decomp_ms + phys_ms
     out = {
         "metric": "1k-seed fracture decomposition + 10k-fragment physics step",
@@ -206,6 +234,7 @@ def main():
         "decomposition_1k_ms": round(decomp_ms, 3),
         "physics_10k_ms": round(phys_ms, 3),
         "cube32_impact_ms": round(cube_ms, 3),
+        "render_512_ms": round(render_ms, 3),
         "decomp_pieces": n_pieces,
         "backend": backend,
         "bench_wall_s": round(time.time() - t0, 1),

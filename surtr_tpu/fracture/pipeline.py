@@ -86,15 +86,14 @@ def _match_cut_faces(poly: ConvexPoly, cut_planes, cut_mask, scale, tol=1e-4):
 
 
 def cut_face_tris(poly: ConvexPoly, face_sel):
-    """Fan-triangulate selected faces → ((F*(S-2), 3, 3), mask).
+    """Fan-triangulate selected faces, row-structured.
 
-    Cap geometry for the visual mesh (the closure the reference gets from
+    Returns ((F, S-2, 3, 3) fan triangles, (F,) per-face counts) — cap
+    geometry for the visual mesh (the closure the reference gets from
     polyhedron clipping, VMACH.cpp:699-813)."""
     F, S = poly.F, poly.S
     fv = poly.face_verts
     fan = jnp.arange(S - 2, dtype=jnp.int32)
-    ok = (fan[None, :] + 2) < poly.n_verts[..., None]
-    ok = ok & face_sel[..., None]
     i1 = fan + 1
     i2 = fan + 2
     tris = jnp.stack(
@@ -105,25 +104,37 @@ def cut_face_tris(poly: ConvexPoly, face_sel):
         ],
         axis=-2,
     )  # (..., F, S-2, 3, 3)
-    return tris.reshape(tris.shape[:-4] + (F * (S - 2), 3, 3)), ok.reshape(
-        ok.shape[:-2] + (F * (S - 2),)
-    )
+    counts = jnp.where(face_sel, jnp.maximum(poly.n_verts - 2, 0), 0)
+    return tris, counts
 
 
-def _append_tris(base, base_mask, extra, extra_mask):
-    """Pack extra triangles into the free tail of a padded triangle buffer
-    (single-piece layout; callers vmap). Scatter-free: one chunked
-    compaction over the concatenated pools."""
-    from surtr_tpu.ops.linalg import compact
+def _append_tris(base, n_base, extra_rows, extra_counts):
+    """Append row-structured extra triangles after the first ``n_base`` base
+    triangles (single-piece layout; callers vmap). Static-size dispatch like
+    clip_trisoup: fused one-hot when small, searchsorted row packing when the
+    one-hot would materialize at OOM scale under the candidate vmap."""
+    from surtr_tpu.ops.linalg import compact, pack_rows
 
     T = base.shape[-3]
-    vals = jnp.concatenate([base, extra]).reshape(-1, 9)
-    flags = jnp.concatenate([base_mask, extra_mask])
-    total = jnp.sum(flags)
-    out, _ = compact(vals, flags, T)
-    out_mask = jnp.arange(T) < total
+    F, Sf = extra_rows.shape[0], extra_rows.shape[1]
+    if F * Sf * T <= 1 << 17:
+        fan_ok = (
+            jnp.arange(Sf, dtype=jnp.int32)[None, :] < extra_counts[:, None]
+        )
+        packed, _ = compact(
+            extra_rows.reshape(F * Sf, 9), fan_ok.reshape(-1), T
+        )
+    else:
+        packed, _ = pack_rows(extra_rows.reshape(F, Sf, 9), extra_counts, T)
+    packed = packed.reshape(T, 3, 3)
+    n_extra = jnp.sum(extra_counts)
+    j = jnp.arange(T, dtype=jnp.int32)
+    shifted = packed[jnp.clip(j - n_base, 0, T - 1)]
+    out = jnp.where((j < n_base)[:, None, None], base, shifted)
+    total = n_base + n_extra
+    out_mask = j < total
     dropped = jnp.maximum(total - T, 0)
-    return out.reshape(T, 3, 3), out_mask, dropped
+    return out, out_mask, dropped
 
 
 def refit_convex(
@@ -318,8 +329,10 @@ def _finish_pieces(
         refit = refit_convex(cv, pool, pool_m, cfg.refitting_point_limit)
         # Caps from the refit convex's cut faces.
         cut2 = _match_cut_faces(refit, planes_, pmask_, mas)
-        cap_tris, cap_mask = cut_face_tris(refit, cut2)
-        tris2, tmask2, _ = _append_tris(tris, tmask_, cap_tris, cap_mask)
+        cap_rows, cap_counts = cut_face_tris(refit, cut2)
+        tris2, tmask2, _ = _append_tris(
+            tris, jnp.sum(tmask_), cap_rows, cap_counts
+        )
         return refit, tris2, tmask2
 
     conv2, mtris2, mmask2 = jax.vmap(refit_one)(
@@ -448,7 +461,7 @@ def do_fracture(
     ISL = max(1, cfg.max_islands)
     if ISL > 1:
         from surtr_tpu.ops.labels import tri_soup_components
-        from surtr_tpu.ops.linalg import compact
+        from surtr_tpu.ops.linalg import pack_rows
 
         # Connectivity must see the closed polyhedron, not just the clipped
         # surface (the reference labels the capped mesh): surface patches of
@@ -469,9 +482,9 @@ def do_fracture(
             fcent = jnp.sum(jnp.where(sm, cv.face_verts, 0.0), axis=-2) / nvv
             probe = fcent - cv.planes[..., :3] * (1e-3 * mas)
             inside = point_in_mesh(probe, src_mesh[src_idx], src_mmask[src_idx])
-            ct, cm = cut_face_tris(cv, sel & inside)       # (F*(S-2), 3, 3)
-            packed, _ = compact(ct.reshape(-1, 9), cm, CAP_CONN)
-            k = jnp.sum(cm)
+            rows, counts = cut_face_tris(cv, sel & inside)  # (F, S-2, 3, 3)
+            Ff, Sf = rows.shape[0], rows.shape[1]
+            packed, k = pack_rows(rows.reshape(Ff, Sf, 9), counts, CAP_CONN)
             return packed.reshape(CAP_CONN, 3, 3), jnp.arange(CAP_CONN) < k
 
         cap_t, cap_m = jax.vmap(conn_caps)(

@@ -91,9 +91,13 @@ def clip_trisoup(
 
     (poly, n_vert), _ = jax.lax.scan(body, (poly, n_vert), (planes, plane_mask))
 
-    # Fan re-triangulation: polygon with n verts → n-2 triangles.
+    # Fan re-triangulation: polygon with n verts → n-2 triangles, packed
+    # front-aligned. Static-size dispatch: the fused one-hot compaction is
+    # faster but materializes O(E · max_out); above the threshold (vmapped
+    # fracture grids OOM'd at 300 GB) use the searchsorted row packing.
+    from surtr_tpu.ops.linalg import compact, pack_rows
+
     fan = jnp.arange(S, dtype=jnp.int32)  # fan index k → tri (0, k+1, k+2)
-    fan_ok = (fan[None, :] + 2) < n_vert[:, None]            # (T, S)
     i1 = jnp.minimum(fan + 1, S - 1)
     i2 = jnp.minimum(fan + 2, S - 1)
     tris = jnp.stack(
@@ -104,12 +108,13 @@ def clip_trisoup(
         ],
         axis=2,
     )                                                        # (T, S, 3, 3)
-    from surtr_tpu.ops.linalg import compact
-
-    flat_ok = fan_ok.reshape(-1)
-    flat_tris = tris.reshape(-1, 9)
-    total = jnp.sum(flat_ok)
-    out, _ = compact(flat_tris, flat_ok, max_out)
+    counts = jnp.maximum(n_vert - 2, 0)
+    total = jnp.sum(counts)
+    if T * S * max_out <= 1 << 17:
+        fan_ok = fan[None, :] < counts[:, None]
+        out, _ = compact(tris.reshape(T * S, 9), fan_ok.reshape(-1), max_out)
+    else:
+        out, _ = pack_rows(tris.reshape(T, S, 9), counts, max_out)
     out = out.reshape(max_out, 3, 3)
     out_valid = jnp.arange(max_out) < total
     dropped = jnp.maximum(total - max_out, 0)

@@ -119,6 +119,10 @@ def rasterize_ids(
         )
         return depth.reshape(rows_per, W), tid.reshape(rows_per, W)
 
+    # Sequential tiles bound peak memory; the raster is memory-bound on the
+    # materialized (pixels × tri-block) edge-function buffers either way —
+    # a Pallas kernel keeping the tile z-buffer in VMEM is the round-2 fix
+    # (ROADMAP.md). vmap over tiles was measured 1.7× slower (more traffic).
     depth, tid = jax.lax.map(tile_fn, jnp.arange(ntile))
     depth = depth.reshape(ntile * rows_per, W)[:H]
     tid = tid.reshape(ntile * rows_per, W)[:H]
