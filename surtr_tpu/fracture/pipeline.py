@@ -146,7 +146,10 @@ def refit_convex(
     """Refitting (Surtr.cpp:2405-2413, task at :1449-1455): ICH(limit) of the
     piece's mesh vertices → k-DOP along its face normals (no outward gap —
     the Polyhedron Calc overload, Kdop.cpp:95-115) → clip the convex."""
-    h = ich(verts, vmask, limit=limit)
+    # limit <= 4 builds exactly the seed tetrahedron: 4 faces, so the padded
+    # hull table (and the slab-plane scan below) can be 3× tighter.
+    max_faces = 4 if limit <= 4 else None
+    h = ich(verts, vmask, limit=limit, max_faces=max_faces)
     planes, pm = kdop_planes(verts, vmask, h["normals"], h["face_valid"], gap=0.0)
     enough = jnp.sum(vmask) >= 4
     out = clip_poly_planes(convex, planes, pm & enough)
