@@ -28,7 +28,7 @@ def test_compact_batched():
     assert n.tolist() == [2, 1]
     assert np.allclose(np.asarray(out[0, 0]), [0, 1, 2])
     assert np.allclose(np.asarray(out[0, 1]), [6, 7, 8])
-    assert np.allclose(np.asarray(out[1, 0]), [9, 10, 11])
+    assert np.allclose(np.asarray(out[1, 0]), [21, 22, 23])
 
 
 def test_pack_rows_matches_concatenation():
