@@ -1,0 +1,60 @@
+"""End-to-end decomposition of real reference OBJ models (BASELINE config 1:
+26-DOP hull approximation + convex decomposition of a loaded OBJ)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surtr_tpu.config import FractureConfig
+from surtr_tpu.fracture.pipeline import prepare_fracture
+from surtr_tpu.io.models import REFERENCE_ROOT, load_reference_model, sphere_point_cloud
+from surtr_tpu.ops.moments import moments
+
+needs_assets = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REFERENCE_ROOT, "Resources/Models")),
+    reason="reference assets not mounted",
+)
+
+
+def _signed_volume(v, f):
+    return float(
+        np.einsum("ij,ij->i", v[f[:, 0]], np.cross(v[f[:, 1]], v[f[:, 2]])).sum()
+        / 6.0
+    )
+
+
+@needs_assets
+def test_bunny_decomposition_volume_bounds():
+    """lowpoly-bunny (2503 verts): pieces must cover at least the mesh volume
+    and stay below a loose ACH bound (ACH ⊇ mesh; fragments tile the ACH)."""
+    v, f = load_reference_model("bunny")
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=8,
+        max_pieces=24,
+        max_piece_tris=2048,
+        max_faces=48,
+        max_face_verts=24,
+        voronoi_neighbors=7,
+        partial_pattern_cell_cnt=4,
+        general_pattern_cell_cnt=4,
+    )
+    pieces, ctx, met = prepare_fracture(
+        jnp.asarray(v),
+        jnp.ones(len(v), bool),
+        jnp.asarray(v[f]),
+        jnp.ones(len(f), bool),
+        jnp.asarray(sphere_point_cloud()),
+        jax.random.PRNGKey(46354),
+        cfg,
+    )
+    mesh_vol = _signed_volume(v, f)
+    vols, _ = moments(pieces.convex)
+    total = float(jnp.where(pieces.valid, vols, 0).sum())
+    assert int(pieces.valid.sum()) >= 4
+    assert total >= mesh_vol * 0.98
+    assert total <= mesh_vol * 1.8  # bunny concavities inflate the ACH
+    # ICH face count is reported like the reference's FractureResult.
+    assert 4 <= int(met["ich_face_cnt"]) <= 36
