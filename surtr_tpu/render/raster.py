@@ -43,7 +43,7 @@ def _screen(clip: jax.Array, W: int, H: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("W", "H", "tile_rows", "tri_block")
+    jax.jit, static_argnames=("W", "H", "tile_rows", "tri_block", "use_pallas")
 )
 def rasterize_ids(
     tris_world: jax.Array,
@@ -53,6 +53,7 @@ def rasterize_ids(
     H: int,
     tile_rows: int = 32,
     tri_block: int = 512,
+    use_pallas: bool | None = None,
 ):
     """Z-buffer rasterization. Returns (depth (H, W), tri_id (H, W) i32;
     -1 = background)."""
@@ -61,6 +62,13 @@ def rasterize_ids(
     sx, sy, sz, inv_w = _screen(clip, W, H)            # (T, 3) each
     # Cull triangles behind the camera (any w <= 0) or invalid.
     ok = valid & jnp.all(clip[..., 3] > 1e-6, axis=-1)
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and W % 128 == 0 and H % 32 == 0:
+        from surtr_tpu.render.raster_pallas import rasterize_ids_pallas
+
+        return rasterize_ids_pallas(sx, sy, sz, ok, W, H)
 
     pad_t = (-T) % tri_block
     def padt(a, fill=0.0):

@@ -1,0 +1,143 @@
+"""Pallas TPU rasterization kernel.
+
+The jnp rasterizer (render/raster.py) is memory-bound: every (pixels ×
+tri-block) edge-function buffer round-trips HBM, ~350 GB per 512² frame.
+This kernel keeps the tile's z-buffer and the triangle chunk in VMEM for the
+whole triangle loop — the classic tile rasterizer mapped onto the TPU.
+
+Layout: triangle chunks live on the sublane axis, tile pixels on the lane
+axis — all intermediates are (CHUNK, PX) with PX a multiple of 128, which is
+the shape Mosaic vectorizes natively (reshapes between (TH, TW) and flat
+pixel vectors are not supported in-kernel, so tiles are stored as flat
+(tiles, PX) rows and reshaped outside).
+
+Used on the TPU backend; the jnp path remains the CPU/test reference —
+outputs agree exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 3.4e38
+
+
+def _raster_tile_kernel(
+    ax_ref, ay_ref, bx_ref, by_ref, cx_ref, cy_ref,
+    za_ref, zb_ref, zc_ref, ok_ref,
+    depth_ref, tid_ref,
+    *, TH: int, TW: int, CHUNK: int, T_pad: int, ntx: int,
+):
+    t = pl.program_id(0)
+    ti = t // ntx
+    tj = t % ntx
+    PX = TH * TW
+    k = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    py = (k // TW + ti * TH).astype(jnp.float32) + 0.5       # (1, PX)
+    px = (k % TW + tj * TW).astype(jnp.float32) + 0.5
+
+    nblk = T_pad // CHUNK
+
+    def body(b, carry):
+        depth, tid = carry
+        sl = lambda r: r[pl.ds(b * CHUNK, CHUNK), :]          # (CHUNK, 1)
+        ax, ay = sl(ax_ref), sl(ay_ref)
+        bx, by = sl(bx_ref), sl(by_ref)
+        cx, cy = sl(cx_ref), sl(cy_ref)
+        za, zb, zc = sl(za_ref), sl(zb_ref), sl(zc_ref)
+        okb = sl(ok_ref) > 0.5
+        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)    # (CHUNK, PX)
+        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+        w0 = e0 * inv_area
+        w1 = e1 * inv_area
+        w2 = e2 * inv_area
+        cov = (
+            (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            & okb & (jnp.abs(area) > 1e-12)
+        )
+        z = w0 * za + w1 * zb + w2 * zc
+        z = jnp.where(cov & (z > 0) & (z < 1), z, BIG)
+        zbest = jnp.min(z, axis=0, keepdims=True)             # (1, PX)
+        best = jnp.argmin(z, axis=0, keepdims=True).astype(jnp.int32)
+        better = zbest < depth
+        depth = jnp.where(better, zbest, depth)
+        tid = jnp.where(better, b * CHUNK + best, tid)
+        return depth, tid
+
+    depth0 = jnp.full((1, PX), BIG, jnp.float32)
+    tid0 = jnp.full((1, PX), -1, jnp.int32)
+    depth, tid = jax.lax.fori_loop(0, nblk, body, (depth0, tid0))
+    # Outputs are whole-array VMEM blocks (per-tile (1, PX) rows violate the
+    # sublane tiling rule); each sequential grid step writes its own row.
+    depth_ref[pl.ds(t, 1), :] = depth
+    tid_ref[pl.ds(t, 1), :] = tid
+
+
+@functools.partial(jax.jit, static_argnames=("W", "H", "interpret"))
+def rasterize_ids_pallas(
+    sx: jax.Array,
+    sy: jax.Array,
+    sz: jax.Array,
+    ok: jax.Array,
+    W: int,
+    H: int,
+    interpret: bool = False,
+):
+    """Z-buffer rasterization from screen-space triangles.
+
+    sx/sy/sz: (T, 3) screen coords + ndc depth; ok: (T,) bool.
+    Returns (depth (H, W), tid (H, W) i32, -1 = background).
+    """
+    TH, TW = 32, 128
+    CHUNK = 128
+    PX = TH * TW
+    T = sx.shape[0]
+    T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    pad1 = lambda a: jnp.pad(a, ((0, T_pad - T),))[:, None]   # (T_pad, 1)
+    okf = pad1(ok.astype(jnp.float32))
+    Hp = ((H + TH - 1) // TH) * TH
+    Wp = ((W + TW - 1) // TW) * TW
+    nty, ntx = Hp // TH, Wp // TW
+
+    args = [
+        pad1(sx[:, 0]), pad1(sy[:, 0]), pad1(sx[:, 1]), pad1(sy[:, 1]),
+        pad1(sx[:, 2]), pad1(sy[:, 2]),
+        pad1(sz[:, 0]), pad1(sz[:, 1]), pad1(sz[:, 2]), okf,
+    ]
+    kernel = functools.partial(
+        _raster_tile_kernel, TH=TH, TW=TW, CHUNK=CHUNK, T_pad=T_pad, ntx=ntx
+    )
+    depth, tid = pl.pallas_call(
+        kernel,
+        grid=(nty * ntx,),
+        in_specs=[
+            pl.BlockSpec((T_pad, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(10)
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (nty * ntx, PX), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (nty * ntx, PX), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nty * ntx, PX), jnp.float32),
+            jax.ShapeDtypeStruct((nty * ntx, PX), jnp.int32),
+        ),
+        interpret=interpret,
+    )(*args)
+    # (tiles, PX) rows → (H, W) image (outside the kernel, reshapes are free).
+    depth = depth.reshape(nty, ntx, TH, TW).transpose(0, 2, 1, 3).reshape(Hp, Wp)
+    tid = tid.reshape(nty, ntx, TH, TW).transpose(0, 2, 1, 3).reshape(Hp, Wp)
+    tid = jnp.where(tid >= T, -1, tid)
+    return depth[:H, :W], tid[:H, :W]
