@@ -2,6 +2,12 @@
 
 Must run before jax initializes a backend (SURVEY.md §4 "fake/offline
 backends": multi-chip sharding is tested on a virtual CPU mesh).
+
+Env-var forcing (JAX_PLATFORMS / XLA_FLAGS) is NOT reliable here: the image's
+sitecustomize registers the axon TPU plugin and can win platform selection.
+``jax.config.update`` wins over both as long as no backend is initialized
+yet, so we use it as the primary mechanism and keep the env vars as backup
+for subprocesses.
 """
 
 import os
@@ -16,3 +22,16 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+try:
+    jax.config.update("jax_platforms", "cpu")
+    if "xla_force_host_platform_device_count" not in flags:
+        jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # backend already up (e.g. conftest re-imported) — keep what exists
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the CPU backend; got " + jax.default_backend()
+)
+assert len(jax.devices()) >= 8, (
+    f"tests need 8 virtual CPU devices, got {len(jax.devices())}"
+)

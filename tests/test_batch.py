@@ -46,11 +46,13 @@ def test_batch_decompose_conserves_each_mesh():
     assert not np.array_equal(v0, v1)
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs virtual devices")
 def test_sharded_batch_matches_unsharded():
-    M = len(jax.devices())
+    # No skip: conftest guarantees 8 CPU devices; fail loudly otherwise.
+    devices = jax.devices("cpu")
+    assert len(devices) >= 2, "conftest must provision virtual CPU devices"
+    M = len(devices)
     args = _inputs(M)
-    mesh = Mesh(np.asarray(jax.devices()), ("mesh",))
+    mesh = Mesh(np.asarray(devices), ("mesh",))
     sharded, total = sharded_batch_decompose("mesh", mesh, *args, CFG)
     local, met = batch_decompose(*args, CFG)
     assert int(total) == int(met["piece_cnt"].sum())

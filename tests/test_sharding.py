@@ -1,23 +1,20 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh
-(SURVEY §4: 'multi-node without a real cluster')."""
+(SURVEY §4: 'multi-node without a real cluster').
+
+These tests must NOT skip: conftest asserts 8 CPU devices exist, and the
+dryrun self-provisions its mesh via ``jax.devices('cpu')`` so it works even
+in environments where env-var platform forcing is ignored.
+"""
 
 import jax
-import numpy as np
-import pytest
-
-needs_devices = pytest.mark.skipif(
-    len(jax.devices()) < 2, reason="needs multiple (virtual) devices"
-)
 
 
-@needs_devices
 def test_dryrun_multichip_all_devices():
     import __graft_entry__ as ge
 
-    ge.dryrun_multichip(len(jax.devices()))
+    ge.dryrun_multichip(8)
 
 
-@needs_devices
 def test_dryrun_multichip_two_devices():
     import __graft_entry__ as ge
 
