@@ -30,6 +30,7 @@ from surtr_tpu.config import FractureConfig
 from surtr_tpu.fracture.pattern import pattern_cells, radial_seeds, uniform_seeds
 from surtr_tpu.fracture.types import FractureContext, PieceSet
 from surtr_tpu.ops.clip import clip_poly_planes, clip_poly_poly
+from surtr_tpu.ops.clip_pallas import clip_planes_batch
 from surtr_tpu.ops.hull import ich
 from surtr_tpu.ops.kdop import kdop_planes
 from surtr_tpu.ops.labels import adjacency_components
@@ -137,23 +138,28 @@ def _append_tris(base, n_base, extra_rows, extra_counts):
     return out, out_mask, dropped
 
 
+def refit_planes(verts: jax.Array, vmask: jax.Array, limit: int):
+    """Refitting slab planes (Surtr.cpp:2405-2413): ICH(limit) of the piece's
+    vertex pool → k-DOP along its face normals (no outward gap — the
+    Polyhedron Calc overload, Kdop.cpp:95-115). Returns ((2K, 4), (2K,))."""
+    # limit <= 4 builds exactly the seed tetrahedron: 4 faces, so the padded
+    # hull table (and the slab-plane fold) can be 3× tighter.
+    max_faces = 4 if limit <= 4 else None
+    h = ich(verts, vmask, limit=limit, max_faces=max_faces)
+    planes, pm = kdop_planes(verts, vmask, h["normals"], h["face_valid"], gap=0.0)
+    enough = jnp.sum(vmask) >= 4
+    return planes, pm & enough
+
+
 def refit_convex(
     convex: ConvexPoly,
     verts: jax.Array,
     vmask: jax.Array,
     limit: int,
 ) -> ConvexPoly:
-    """Refitting (Surtr.cpp:2405-2413, task at :1449-1455): ICH(limit) of the
-    piece's mesh vertices → k-DOP along its face normals (no outward gap —
-    the Polyhedron Calc overload, Kdop.cpp:95-115) → clip the convex."""
-    # limit <= 4 builds exactly the seed tetrahedron: 4 faces, so the padded
-    # hull table (and the slab-plane scan below) can be 3× tighter.
-    max_faces = 4 if limit <= 4 else None
-    h = ich(verts, vmask, limit=limit, max_faces=max_faces)
-    planes, pm = kdop_planes(verts, vmask, h["normals"], h["face_valid"], gap=0.0)
-    enough = jnp.sum(vmask) >= 4
-    out = clip_poly_planes(convex, planes, pm & enough)
-    return out
+    """Single-piece refit: slab planes → clip (Kdop::ClipWithPolyhedron)."""
+    planes, pm = refit_planes(verts, vmask, limit)
+    return clip_poly_planes(convex, planes, pm)
 
 
 def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
@@ -235,7 +241,13 @@ def prepare_fracture(
         scale_poly(unit_cube(F=F, S=S, dtype=verts.dtype), extent * 2.0),
         bb_center,
     )
-    ach = clip_poly_planes(ach, planes, pm)
+    ach = jax.tree_util.tree_map(
+        lambda a: a[0],
+        clip_planes_batch(
+            jax.tree_util.tree_map(lambda a: a[None], ach),
+            planes[None], pm[None],
+        ),
+    )
 
     # 8. Initial Voronoi decomposition (Surtr.cpp:1798-1803). The cells are
     # only ever consumed as half-space lists, so the one-shot decomposition
@@ -270,10 +282,12 @@ def prepare_fracture(
     )
 
     # 10. Initial pieces: ACH ∩ cell, mesh ∩ cell (ApplyFracture on the
-    # single pre-compound, Surtr.cpp:1810-1811).
-    conv = jax.vmap(lambda pl, pm_: clip_poly_planes(ach, pl, pm_))(
-        cell_planes, cell_pmask
+    # single pre-compound, Surtr.cpp:1810-1811). One batched plane fold
+    # (Pallas VMEM kernel on TPU) over all C cells.
+    ach_b = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (C,) + a.shape), ach
     )
+    conv = clip_planes_batch(ach_b, cell_planes, cell_pmask)
 
     def mesh_one(pl, pm_):
         return clip_trisoup(tri_corners, tmask, pl, pm_, max_out=Tp)
@@ -281,7 +295,9 @@ def prepare_fracture(
     mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
 
     out = _finish_pieces(
-        conv, mtris, mmask, cell_planes, cell_pmask, tri_corners, tmask,
+        conv, mtris, mmask, cell_planes, cell_pmask,
+        jnp.broadcast_to(tri_corners[None], (C,) + tri_corners.shape),
+        jnp.broadcast_to(tmask[None], (C,) + tmask.shape),
         mas, cfg,
     )
     conv, mtris, mmask, cand_valid = out
@@ -309,7 +325,11 @@ def _finish_pieces(
     """Shared tail of both fracture entry points: occupancy test, refit,
     cap generation. All inputs batched over candidates (leading axis);
     cut_planes/cut_mask are the half-spaces that produced each candidate
-    ((N, Kc, 4) / (N, Kc))."""
+    ((N, Kc, 4) / (N, Kc)); solid_corners/solid_mask are per-candidate source
+    solids ((N, Ts, 3, 3) / (N, Ts)).
+
+    The refit clip runs as ONE batched plane fold (the Pallas VMEM kernel on
+    TPU) — per-candidate work around it stays vmapped."""
     F, S = cfg.max_faces, cfg.max_face_verts
 
     # Occupancy: surface triangles present, or convex centroid inside the
@@ -317,29 +337,37 @@ def _finish_pieces(
     # closed-polyhedron clip staying non-empty).
     has_tris = jnp.any(mmask, axis=-1)
     _, cent = moments(conv)
-    inside = point_in_mesh(cent, solid_corners, solid_mask)
+    inside = jax.vmap(lambda c, t, m: point_in_mesh(c[None], t, m)[0])(
+        cent, solid_corners, solid_mask
+    )
     cand_valid = ~conv.is_empty() & (has_tris | inside)
 
     # Refit vertex pool: clipped surface corners + pre-refit cut-face verts.
-    def refit_one(cv, tris, tmask_, planes_, pmask_):
+    def pool_one(cv, tris, tmask_, planes_, pmask_):
         cut_sel = _match_cut_faces(cv, planes_, pmask_, mas)
         cap_v = cv.face_verts.reshape(-1, 3)
         cap_m = (cv.slot_mask() & cut_sel[:, None]).reshape(-1)
         surf_v = tris.reshape(-1, 3)
         surf_m = jnp.repeat(tmask_, 3)
-        pool = jnp.concatenate([surf_v, cap_v])
-        pool_m = jnp.concatenate([surf_m, cap_m])
-        refit = refit_convex(cv, pool, pool_m, cfg.refitting_point_limit)
-        # Caps from the refit convex's cut faces.
+        return jnp.concatenate([surf_v, cap_v]), jnp.concatenate([surf_m, cap_m])
+
+    pool, pool_m = jax.vmap(pool_one)(conv, mtris, mmask, cut_planes, cut_mask)
+    slabs, slab_m = jax.vmap(
+        lambda v, m: refit_planes(v, m, cfg.refitting_point_limit)
+    )(pool, pool_m)
+    conv2 = clip_planes_batch(conv, slabs, slab_m)
+
+    # Caps from the refit convex's cut faces.
+    def caps_one(refit, tris, tmask_, planes_, pmask_):
         cut2 = _match_cut_faces(refit, planes_, pmask_, mas)
         cap_rows, cap_counts = cut_face_tris(refit, cut2)
         tris2, tmask2, _ = _append_tris(
             tris, jnp.sum(tmask_), cap_rows, cap_counts
         )
-        return refit, tris2, tmask2
+        return tris2, tmask2
 
-    conv2, mtris2, mmask2 = jax.vmap(refit_one)(
-        conv, mtris, mmask, cut_planes, cut_mask
+    mtris2, mmask2 = jax.vmap(caps_one)(
+        conv2, mtris, mmask, cut_planes, cut_mask
     )
 
     # Invalidate empties.
@@ -433,24 +461,34 @@ def do_fracture(
     src_mesh = pieces.mesh[sel]
     src_mmask = pieces.mesh_valid[sel] & sel_ok[:, None]
 
-    # --- ApplyFracture: A × C grid clip (Surtr.cpp:2129-2146).
-    def clip_row(cv, mesh, mmask_):
-        conv = jax.vmap(lambda cell: clip_poly_poly(cv, cell))(cells)
+    # --- ApplyFracture: A × C grid clip (Surtr.cpp:2129-2146), flattened to
+    # one (A*C,) batched plane fold (Pallas VMEM kernel on TPU).
+    N0 = A * C
+    src_rep = jax.tree_util.tree_map(
+        lambda a: jnp.repeat(a, C, axis=0), src_conv
+    )
+    cell_planes_t = jnp.tile(cells.planes, (A, 1, 1))
+    cell_pmask_t = jnp.tile(cells.face_mask(), (A, 1))
+    conv = clip_planes_batch(src_rep, cell_planes_t, cell_pmask_t)
+    # clip_poly_poly semantics: empty clipper → empty result.
+    cell_empty_t = jnp.tile(cells.is_empty(), (A,))
+    conv = ConvexPoly(
+        conv.face_verts,
+        jnp.where(cell_empty_t[:, None], 0, conv.n_verts),
+        conv.planes,
+    )
 
+    def mesh_row(mesh, mmask_):
         def mesh_one(cell):
             return clip_trisoup(
                 mesh, mmask_, cell.planes, cell.face_mask(), max_out=Tp
             )
 
-        mt, mm, md = jax.vmap(mesh_one)(cells)
-        return conv, mt, mm, md
+        return jax.vmap(mesh_one)(cells)
 
-    conv, mtris, mmask, mdrop = jax.vmap(clip_row)(src_conv, src_mesh, src_mmask)
+    mtris, mmask, mdrop = jax.vmap(mesh_row)(src_mesh, src_mmask)
 
-    # Flatten the (A, C) grid → (A*C,) candidates.
-    N0 = A * C
     flat = lambda a: a.reshape((N0,) + a.shape[2:])
-    conv = jax.tree_util.tree_map(flat, conv)
     mtris, mmask = flat(mtris), flat(mmask)
     cell_of = jnp.tile(jnp.arange(C, dtype=jnp.int32), (A,))
     src_of = jnp.repeat(jnp.arange(A, dtype=jnp.int32), C)
@@ -568,28 +606,9 @@ def do_fracture(
     cpmask_flat = cells.face_mask()[cell_of]
 
     # Occupancy / refit / caps against each candidate's *source piece* solid.
-    def finish_one(cv, mt, mm, cpl, cpm, src_idx):
-        out = _finish_pieces(
-            jax.tree_util.tree_map(lambda a: a[None], cv),
-            mt[None],
-            mm[None],
-            cpl[None],
-            cpm[None],
-            src_mesh[src_idx],
-            src_mmask[src_idx],
-            mas,
-            cfg,
-        )
-        c2, t2, m2, v2 = out
-        return (
-            jax.tree_util.tree_map(lambda a: a[0], c2),
-            t2[0],
-            m2[0],
-            v2[0],
-        )
-
-    conv2, mtris2, mmask2, cand_valid = jax.vmap(finish_one)(
-        conv, mtris, mmask, cplanes_flat, cpmask_flat, src_of
+    conv2, mtris2, mmask2, cand_valid = _finish_pieces(
+        conv, mtris, mmask, cplanes_flat, cpmask_flat,
+        src_mesh[src_of], src_mmask[src_of], mas, cfg,
     )
     cand_valid = cand_valid & src_valid
 

@@ -68,10 +68,12 @@ def voronoi_cells(
     neg, idx = jax.lax.top_k(-d2, k)                          # nearest first
     nb_ok = (-neg) < big / 2                                  # (N, k)
 
-    def one(seed, nbr_idx, nbr_ok, ok):
-        planes, pm = bisector_planes(seed, seeds[nbr_idx], nbr_ok)
-        cell = clip_poly_planes(domain, planes, pm)
-        nv = jnp.where(ok, cell.n_verts, 0)
-        return ConvexPoly(cell.face_verts, nv, cell.planes)
+    from surtr_tpu.ops.clip_pallas import clip_planes_batch
 
-    return jax.vmap(one)(seeds, idx, nb_ok, seed_mask)
+    planes, pm = jax.vmap(bisector_planes)(seeds, seeds[idx], nb_ok)
+    dom = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (N,) + a.shape), domain
+    )
+    cells = clip_planes_batch(dom, planes, pm)
+    nv = jnp.where(seed_mask[:, None], cells.n_verts, 0)
+    return ConvexPoly(cells.face_verts, nv, cells.planes)

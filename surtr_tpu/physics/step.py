@@ -77,6 +77,25 @@ def _broadphase(centers, lo, hi, owner, valid, K, block):
     return idx.reshape(-1, K)[:Np], ok.reshape(-1, K)[:Np]
 
 
+def _stage_out(scene: PhysicsScene, *arrays) -> PhysicsScene:
+    """Profiling early-exit: fold a reduction of the stage outputs into
+    bodies.x so the truncated program keeps the stage's compute live."""
+    import dataclasses
+
+    s = jnp.float32(0)
+    for a in arrays:
+        s = s + jnp.sum(a.astype(jnp.float32))
+    bodies = scene.bodies
+    new_bodies = type(bodies)(
+        x=bodies.x + s.astype(bodies.x.dtype) * 1e-30,
+        q=bodies.q, v=bodies.v, w=bodies.w,
+        inv_mass=bodies.inv_mass,
+        inv_inertia_body=bodies.inv_inertia_body,
+        active=bodies.active,
+    )
+    return dataclasses.replace(scene, bodies=new_bodies)
+
+
 def _segment_sums(piece_vals: jax.Array, seg_start: jax.Array):
     """Per-body sums of piece values when pieces are sorted by owner.
 
@@ -88,8 +107,13 @@ def _segment_sums(piece_vals: jax.Array, seg_start: jax.Array):
     return csum[seg_start[1:]] - csum[seg_start[:-1]]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
+@functools.partial(jax.jit, static_argnames=("cfg", "profile_stage"))
+def physics_step(
+    scene: PhysicsScene, cfg: PhysicsConfig, profile_stage: int = 99
+) -> PhysicsScene:
+    """One fixed step. ``profile_stage`` truncates the step after stage N
+    (1=transforms, 2=broadphase, 3=narrowphase, 4=solver) for per-phase device
+    timing (SURVEY §5 tracing) — production callers leave the default."""
     dt = cfg.dt
     bodies = scene.bodies
     Np, B = scene.Np, scene.B
@@ -108,6 +132,9 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     lo, hi = lo - margin, hi + margin
     centers = jnp.where(pvalid[:, None], (lo + hi) * 0.5, big)
 
+    if profile_stage <= 1:
+        return _stage_out(scene, centers, lo, hi)
+
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
     pidx, pok = _broadphase(
         centers, lo, hi, scene.piece_owner, pvalid, K, cfg.broadphase_block
@@ -116,6 +143,9 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     me = jnp.arange(Np, dtype=jnp.int32)[:, None, None]
     mutual = jnp.any(partner_lists == me, axis=-1)
     pok = pok & mutual
+
+    if profile_stage <= 2:
+        return _stage_out(scene, pidx, pok)
 
     # --- 3a. pair narrowphase (SAT), piece-major slots (Np, K).
     from surtr_tpu.ops.linalg import rot_points
@@ -220,6 +250,9 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
         is_static, 0, owner[jnp.maximum(partner_piece, 0)]
     )
 
+    if profile_stage <= 3:
+        return _stage_out(scene, nrm, pts, dep, hit)
+
     # --- 4. solver (Jacobi, A-side application only; pairs are mutual).
     inv_m = bodies.inv_mass
     inv_I = world_inv_inertia(bodies.q, bodies.inv_inertia_body)
@@ -294,6 +327,9 @@ def physics_step(scene: PhysicsScene, cfg: PhysicsConfig) -> PhysicsScene:
     (v1, w1), _ = jax.lax.scan(
         solver_iter, (v0, w0), None, length=cfg.solver_iters
     )
+
+    if profile_stage <= 4:
+        return _stage_out(scene, v1, w1)
 
     # --- 5. integrate
     act = bodies.active
