@@ -106,21 +106,27 @@ def _clip_kernel(
         pcy = (fvy * dn - vny * dist) / safe
         pcz = (fvz * dn - vnz * dist) / safe
 
-        # --- Sutherland–Hodgman stream: per slot [v if kept][cut if cross].
-        def zip2(a, b):
-            return jnp.stack([a, b], axis=2).reshape(F, 2 * S, BN)
-
-        flags = zip2(kept, cross)
-        sx, sy, sz = zip2(fvx, pcx), zip2(fvy, pcy), zip2(fvz, pcz)
-        pos = _cumsum1(flags.astype(jnp.int32))                  # (F,2S,BN)
-        n_out = jnp.minimum(pos[:, -1, :], S)                    # (F,BN)
+        # --- Sutherland–Hodgman stream: per slot, the kept vertex precedes
+        # the crossing point. Output positions are computed arithmetically
+        # (an interleaved 2S stream via stack+reshape does not lower in
+        # Mosaic — "invalid vector register cast" on the sublane interleave).
+        kc = kept.astype(jnp.int32)
+        cc = cross.astype(jnp.int32)
+        tot = _cumsum1(kc + cc)                                  # (F,S,BN)
+        before = tot - kc - cc                                   # exclusive
+        pos_k = before + 1                                       # 1-based
+        pos_c = before + kc + 1
+        # Last cumsum element == max (monotone); negative indexing lowers to
+        # dynamic_slice, which Mosaic does not implement on arrays.
+        n_out = jnp.minimum(jnp.max(tot, axis=1), S)             # (F,BN)
 
         outx, outy, outz = [], [], []
         for j in range(S):
-            sel = (flags & (pos == j + 1)).astype(f32)
-            outx.append(jnp.sum(sel * sx, axis=1))
-            outy.append(jnp.sum(sel * sy, axis=1))
-            outz.append(jnp.sum(sel * sz, axis=1))
+            selk = (kept & (pos_k == j + 1)).astype(f32)
+            selc = (cross & (pos_c == j + 1)).astype(f32)
+            outx.append(jnp.sum(selk * fvx + selc * pcx, axis=1))
+            outy.append(jnp.sum(selk * fvy + selc * pcy, axis=1))
+            outz.append(jnp.sum(selk * fvz + selc * pcz, axis=1))
         out_fvx = jnp.stack(outx, axis=1)                        # (F,S,BN)
         out_fvy = jnp.stack(outy, axis=1)
         out_fvz = jnp.stack(outz, axis=1)
@@ -131,25 +137,36 @@ def _clip_kernel(
         face_touched = jnp.any(removed, axis=1)                  # (F,BN)
         inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None, :]
         any_removed = jnp.any(jnp.any(removed, axis=1), axis=0)  # (BN,)
-        cand = zip2(inplane, cross) & any_removed[None, None, :]
+        ci = inplane & any_removed[None, None, :]
+        cx2 = cross & any_removed[None, None, :]
 
-        # Per-face pool of CAPS candidates (parity with ops.clip truncation).
-        cpos = _cumsum1(cand.astype(jnp.int32))
+        # Per-face pool of CAPS candidates (parity with ops.clip truncation);
+        # per slot the in-plane vertex precedes the crossing point.
+        cic = ci.astype(jnp.int32)
+        cxc = cx2.astype(jnp.int32)
+        ctot = _cumsum1(cic + cxc)                               # (F,S,BN)
+        cbefore = ctot - cic - cxc
+        cpos_i = cbefore + 1
+        cpos_c = cbefore + cic + 1
         poolx, pooly, poolz, poolm = [], [], [], []
         for j in range(CAPS):
-            sel_b = cand & (cpos == j + 1)
-            sel = sel_b.astype(f32)
-            poolx.append(jnp.sum(sel * sx, axis=1))
-            pooly.append(jnp.sum(sel * sy, axis=1))
-            poolz.append(jnp.sum(sel * sz, axis=1))
-            poolm.append(jnp.any(sel_b, axis=1))
+            sel_ib = ci & (cpos_i == j + 1)
+            sel_cb = cx2 & (cpos_c == j + 1)
+            sel_i = sel_ib.astype(f32)
+            sel_c = sel_cb.astype(f32)
+            poolx.append(jnp.sum(sel_i * fvx + sel_c * pcx, axis=1))
+            pooly.append(jnp.sum(sel_i * fvy + sel_c * pcy, axis=1))
+            poolz.append(jnp.sum(sel_i * fvz + sel_c * pcz, axis=1))
+            # int32, not bool: Mosaic cannot relayout i1 vectors through
+            # the stack+reshape below ("invalid vector register cast").
+            poolm.append(jnp.any(sel_ib | sel_cb, axis=1).astype(jnp.int32))
         # Flatten (F, CAPS) → (F*CAPS,) then compact across faces to 2S slots.
         px = jnp.stack(poolx, axis=1).reshape(F * CAPS, BN)
         py = jnp.stack(pooly, axis=1).reshape(F * CAPS, BN)
         pz = jnp.stack(poolz, axis=1).reshape(F * CAPS, BN)
-        pm = jnp.stack(poolm, axis=1).reshape(F * CAPS, BN)
+        pm = jnp.stack(poolm, axis=1).reshape(F * CAPS, BN) > 0
         gpos = _cumsum1(pm.astype(jnp.int32)[:, None, :].reshape(1, F * CAPS, BN))[0]
-        cnt = jnp.minimum(gpos[-1, :], 2 * S)                    # (BN,)
+        cnt = jnp.minimum(jnp.max(gpos, axis=0), 2 * S)          # (BN,)
         # One-hot gather into the 2S-slot pool (vectorized, (2S, F*CAPS, BN)).
         selp = (pm & (gpos[None] == pool_iota[:, None, :] + 1)).astype(f32)
         gx = jnp.sum(selp * px[None], axis=1)                    # (2S,BN)
@@ -209,7 +226,7 @@ def _clip_kernel(
         kpos = _cumsum1(
             keep.astype(jnp.int32)[None].reshape(1, 2 * S, BN)
         )[0]                                                      # (2S,BN)
-        n_cap = jnp.minimum(kpos[-1, :], S)                       # (BN,)
+        n_cap = jnp.minimum(jnp.max(kpos, axis=0), S)             # (BN,)
         selc = (keep[None] & (kpos[None] == cap_iota[:, None, :] + 1)).astype(f32)
         capx = jnp.sum(selc * srx[None], axis=1)                  # (S,BN)
         capy = jnp.sum(selc * sry[None], axis=1)
@@ -309,6 +326,12 @@ def clip_planes_batch_pallas(
     outs = pl.pallas_call(
         functools.partial(_clip_kernel, F=F, S=S, K=K, tol=tol),
         grid=grid,
+        compiler_params=pltpu.CompilerParams(
+            # The unrolled one-hot compaction loops keep several (F,S,BN)
+            # f32 temporaries live; the default 16 MB scoped-VMEM budget
+            # overflows at F=32,S=16. v5e VMEM is 128 MB — allow more.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=[
             bs(F * S), bs(F * S), bs(F * S),
             bs(F),
@@ -337,6 +360,22 @@ def clip_planes_batch_pallas(
     return ConvexPoly(fv_out, nv_out, pl_out)
 
 
+def _target_is_tpu() -> bool:
+    """True when tracing targets a TPU device.
+
+    ``jax.default_backend()`` ignores an active ``jax.default_device(...)``
+    context (it reports the highest-priority platform), so consult the
+    config'd default device first — the multichip dryrun and the CPU-mesh
+    sharding tests run under ``jax.default_device(cpu)`` with the axon TPU
+    plugin still registered as the ambient default backend.
+    """
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        platform = getattr(dev, "platform", None)
+        return platform in ("tpu", "axon")
+    return jax.default_backend() == "tpu"
+
+
 def clip_planes_batch(
     poly: ConvexPoly,
     planes: jax.Array,
@@ -353,7 +392,7 @@ def clip_planes_batch(
     N, K = planes.shape[0], planes.shape[1]
     if plane_mask is None:
         plane_mask = jnp.ones((N, K), bool)
-    if jax.default_backend() == "tpu":
+    if _target_is_tpu():
         return clip_planes_batch_pallas(poly, planes, plane_mask, tol=tol)
     return jax.vmap(
         lambda p, pls, pm: clip_poly_planes(p, pls, pm, tol)
