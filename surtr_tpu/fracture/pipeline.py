@@ -143,9 +143,15 @@ def refit_planes(verts: jax.Array, vmask: jax.Array, limit: int):
     vertex pool → k-DOP along its face normals (no outward gap — the
     Polyhedron Calc overload, Kdop.cpp:95-115). Returns ((2K, 4), (2K,))."""
     # limit <= 4 builds exactly the seed tetrahedron: 4 faces, so the padded
-    # hull table (and the slab-plane fold) can be 3× tighter.
-    max_faces = 4 if limit <= 4 else None
-    h = ich(verts, vmask, limit=limit, max_faces=max_faces)
+    # hull table (and the slab-plane fold) can be 3× tighter — and the
+    # gather-free tetra path avoids ~6 batched index gathers per candidate
+    # (each ~ms-scale on this backend; see ops/hull.py tetra_hull).
+    if limit <= 4:
+        from surtr_tpu.ops.hull import tetra_hull
+
+        h = tetra_hull(verts, vmask)
+    else:
+        h = ich(verts, vmask, limit=limit)
     planes, pm = kdop_planes(verts, vmask, h["normals"], h["face_valid"], gap=0.0)
     enough = jnp.sum(vmask) >= 4
     return planes, pm & enough

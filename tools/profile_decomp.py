@@ -107,9 +107,12 @@ def main():
             cell_planes, cell_pmask = _cell_plane_sets(seeds, kN, extent, bb_center)
             if upto == 1:
                 return cell_planes
-            conv = jax.vmap(lambda pl, pm_: clip_poly_planes(ach, pl, pm_))(
-                cell_planes, cell_pmask
+            from surtr_tpu.ops.clip_pallas import clip_planes_batch
+
+            ach_b = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a[None], (C,) + a.shape), ach
             )
+            conv = clip_planes_batch(ach_b, cell_planes, cell_pmask)
             if upto == 2:
                 return conv.n_verts
             mtris, mmask, mdrop = jax.vmap(
@@ -118,7 +121,9 @@ def main():
             if upto == 3:
                 return mmask
             out = _finish_pieces(
-                conv, mtris, mmask, cell_planes, cell_pmask, tri_corners, tmask,
+                conv, mtris, mmask, cell_planes, cell_pmask,
+                jnp.broadcast_to(tri_corners[None], (C,) + tri_corners.shape),
+                jnp.broadcast_to(tmask[None], (C,) + tmask.shape),
                 mas, cfg,
             )
             conv2, mtris2, mmask2, cand_valid = out
