@@ -82,6 +82,9 @@ class PhysicsConfig:
     sleep_velocity: float = 0.0    # 0 disables sleeping
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
+    broadphase: str = "sorted"     # "sorted" = Morton-window sweep (O(N·W));
+                                   # "exact" = blocked all-pairs (O(N²/block))
+    broadphase_window: int = 32    # sorted-order neighbors tested per side
 
 
 @dataclasses.dataclass(frozen=True)

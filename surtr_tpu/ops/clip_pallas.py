@@ -64,20 +64,26 @@ def _clip_kernel(
     BN = nv_ref.shape[-1]
     f32 = fvx_ref.dtype
 
-    fvx = fvx_ref[:].reshape(F, S, BN)
-    fvy = fvy_ref[:].reshape(F, S, BN)
-    fvz = fvz_ref[:].reshape(F, S, BN)
-    nv = nv_ref[:]
-    pnx, pny, pnz, pd = pnx_ref[:], pny_ref[:], pnz_ref[:], pd_ref[:]
+    # State lives in the OUTPUT refs (VMEM) and is mutated across the plane
+    # fold; the expensive compaction/cap update is predicated on "this plane
+    # removed a vertex of ANY polytope in the block". With plane lists
+    # sorted nearest-bisector-first (ops/voronoi, _cell_plane_sets), later
+    # planes almost never cut, so most steps cost only the distance test.
+    ofvx_ref[:] = fvx_ref[:]
+    ofvy_ref[:] = fvy_ref[:]
+    ofvz_ref[:] = fvz_ref[:]
+    onv_ref[:] = nv_ref[:]
+    opnx_ref[:] = pnx_ref[:]
+    opny_ref[:] = pny_ref[:]
+    opnz_ref[:] = pnz_ref[:]
+    opd_ref[:] = pd_ref[:]
 
     slot = jax.lax.broadcasted_iota(jnp.int32, (F, S, BN), 1)
     iota_f = jax.lax.broadcasted_iota(jnp.int32, (F, BN), 0)
     pool_iota = jax.lax.broadcasted_iota(jnp.int32, (2 * S, BN), 0)
     cap_iota = jax.lax.broadcasted_iota(jnp.int32, (S, BN), 0)
 
-    def body(k, carry):
-        fvx, fvy, fvz, nv, pnx, pny, pnz, pd = carry
-
+    def body(k, _):
         ok = cm_ref[pl.ds(k, 1), :][0] > 0                       # (BN,)
         # Masked-out plane → the all-kept no-op plane (0,0,0,-1).
         nx = jnp.where(ok, cnx_ref[pl.ds(k, 1), :][0], 0.0)      # (BN,)
@@ -85,189 +91,202 @@ def _clip_kernel(
         nz = jnp.where(ok, cnz_ref[pl.ds(k, 1), :][0], 0.0)
         d = jnp.where(ok, cd_ref[pl.ds(k, 1), :][0], -1.0)
 
+        fvx = ofvx_ref[:].reshape(F, S, BN)
+        fvy = ofvy_ref[:].reshape(F, S, BN)
+        fvz = ofvz_ref[:].reshape(F, S, BN)
+        nv = onv_ref[:]
+
         m = slot < nv[:, None, :]
         dist = fvx * nx + fvy * ny + fvz * nz + d                 # (F,S,BN)
-        is_last = slot == (nv[:, None, :] - 1)
-
-        def nxt(a):
-            r = jnp.concatenate([a[:, 1:, :], a[:, 0:1, :]], axis=1)
-            return jnp.where(is_last, a[:, 0:1, :], r)
-
-        vnx, vny, vnz = nxt(fvx), nxt(fvy), nxt(fvz)
-        dn = nxt(dist)
-
-        kept = m & (dist <= tol)
-        cross = m & (
-            ((dist < -tol) & (dn > tol)) | ((dist > tol) & (dn < -tol))
-        )
-        denom = dn - dist
-        safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
-        pcx = (fvx * dn - vnx * dist) / safe
-        pcy = (fvy * dn - vny * dist) / safe
-        pcz = (fvz * dn - vnz * dist) / safe
-
-        # --- Sutherland–Hodgman stream: per slot, the kept vertex precedes
-        # the crossing point. Output positions are computed arithmetically
-        # (an interleaved 2S stream via stack+reshape does not lower in
-        # Mosaic — "invalid vector register cast" on the sublane interleave).
-        kc = kept.astype(jnp.int32)
-        cc = cross.astype(jnp.int32)
-        tot = _cumsum1(kc + cc)                                  # (F,S,BN)
-        before = tot - kc - cc                                   # exclusive
-        pos_k = before + 1                                       # 1-based
-        pos_c = before + kc + 1
-        # Last cumsum element == max (monotone); negative indexing lowers to
-        # dynamic_slice, which Mosaic does not implement on arrays.
-        n_out = jnp.minimum(jnp.max(tot, axis=1), S)             # (F,BN)
-
-        outx, outy, outz = [], [], []
-        for j in range(S):
-            selk = (kept & (pos_k == j + 1)).astype(f32)
-            selc = (cross & (pos_c == j + 1)).astype(f32)
-            outx.append(jnp.sum(selk * fvx + selc * pcx, axis=1))
-            outy.append(jnp.sum(selk * fvy + selc * pcy, axis=1))
-            outz.append(jnp.sum(selk * fvz + selc * pcz, axis=1))
-        out_fvx = jnp.stack(outx, axis=1)                        # (F,S,BN)
-        out_fvy = jnp.stack(outy, axis=1)
-        out_fvz = jnp.stack(outz, axis=1)
-        new_nv = jnp.where(n_out >= 3, n_out, 0)
-
-        # --- cap candidates: crossings + in-plane verts of touched faces.
         removed = m & (dist > tol)
-        face_touched = jnp.any(removed, axis=1)                  # (F,BN)
-        inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None, :]
-        any_removed = jnp.any(jnp.any(removed, axis=1), axis=0)  # (BN,)
-        ci = inplane & any_removed[None, None, :]
-        cx2 = cross & any_removed[None, None, :]
 
-        # Per-face pool of CAPS candidates (parity with ops.clip truncation);
-        # per slot the in-plane vertex precedes the crossing point.
-        cic = ci.astype(jnp.int32)
-        cxc = cx2.astype(jnp.int32)
-        ctot = _cumsum1(cic + cxc)                               # (F,S,BN)
-        cbefore = ctot - cic - cxc
-        cpos_i = cbefore + 1
-        cpos_c = cbefore + cic + 1
-        poolx, pooly, poolz, poolm = [], [], [], []
-        for j in range(CAPS):
-            sel_ib = ci & (cpos_i == j + 1)
-            sel_cb = cx2 & (cpos_c == j + 1)
-            sel_i = sel_ib.astype(f32)
-            sel_c = sel_cb.astype(f32)
-            poolx.append(jnp.sum(sel_i * fvx + sel_c * pcx, axis=1))
-            pooly.append(jnp.sum(sel_i * fvy + sel_c * pcy, axis=1))
-            poolz.append(jnp.sum(sel_i * fvz + sel_c * pcz, axis=1))
-            # int32, not bool: Mosaic cannot relayout i1 vectors through
-            # the stack+reshape below ("invalid vector register cast").
-            poolm.append(jnp.any(sel_ib | sel_cb, axis=1).astype(jnp.int32))
-        # Flatten (F, CAPS) → (F*CAPS,) then compact across faces to 2S slots.
-        px = jnp.stack(poolx, axis=1).reshape(F * CAPS, BN)
-        py = jnp.stack(pooly, axis=1).reshape(F * CAPS, BN)
-        pz = jnp.stack(poolz, axis=1).reshape(F * CAPS, BN)
-        pm = jnp.stack(poolm, axis=1).reshape(F * CAPS, BN) > 0
-        gpos = _cumsum1(pm.astype(jnp.int32)[:, None, :].reshape(1, F * CAPS, BN))[0]
-        cnt = jnp.minimum(jnp.max(gpos, axis=0), 2 * S)          # (BN,)
-        # One-hot gather into the 2S-slot pool (vectorized, (2S, F*CAPS, BN)).
-        selp = (pm & (gpos[None] == pool_iota[:, None, :] + 1)).astype(f32)
-        gx = jnp.sum(selp * px[None], axis=1)                    # (2S,BN)
-        gy = jnp.sum(selp * py[None], axis=1)
-        gz = jnp.sum(selp * pz[None], axis=1)
-        gm = pool_iota < cnt[None, :]
+        @pl.when(jnp.any(removed))
+        def _update():
+            pnx, pny, pnz, pd = (
+                opnx_ref[:], opny_ref[:], opnz_ref[:], opd_ref[:]
+            )
+            is_last = slot == (nv[:, None, :] - 1)
 
-        # Centroid + in-plane basis (u, v) for angular ordering.
-        fcnt = jnp.maximum(cnt.astype(f32), 1.0)
-        cx = jnp.sum(jnp.where(gm, gx, 0.0), axis=0) / fcnt       # (BN,)
-        cy = jnp.sum(jnp.where(gm, gy, 0.0), axis=0) / fcnt
-        cz = jnp.sum(jnp.where(gm, gz, 0.0), axis=0) / fcnt
-        nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
-        nls = jnp.maximum(nl, 1e-30)
-        ux_n, uy_n, uz_n = nx / nls, ny / nls, nz / nls
-        ax_, ay_, az_ = jnp.abs(ux_n), jnp.abs(uy_n), jnp.abs(uz_n)
-        tx = (ax_ <= ay_) & (ax_ <= az_)
-        ty = ~tx & (ay_ <= az_)
-        ex = tx.astype(f32)
-        ey = ty.astype(f32)
-        ez = (~tx & ~ty).astype(f32)
-        # u = e × n, normalized; v = n × u.
-        ux = ey * uz_n - ez * uy_n
-        uy = ez * ux_n - ex * uz_n
-        uz = ex * uy_n - ey * ux_n
-        ul = jnp.maximum(jnp.sqrt(ux * ux + uy * uy + uz * uz), 1e-30)
-        ux, uy, uz = ux / ul, uy / ul, uz / ul
-        vx = uy_n * uz - uz_n * uy
-        vy = uz_n * ux - ux_n * uz
-        vz = ux_n * uy - uy_n * ux
+            def nxt(a):
+                r = jnp.concatenate([a[:, 1:, :], a[:, 0:1, :]], axis=1)
+                return jnp.where(is_last, a[:, 0:1, :], r)
 
-        rx, ry, rz = gx - cx[None], gy - cy[None], gz - cz[None]
-        pu = rx * ux[None] + ry * uy[None] + rz * uz[None]        # (2S,BN)
-        pv = rx * vx[None] + ry * vy[None] + rz * vz[None]
-        # Diamond pseudo-angle: same cyclic order as atan2(pv, pu).
-        den = jnp.maximum(jnp.abs(pu) + jnp.abs(pv), 1e-30)
-        ang = jnp.where(pv >= 0, 1.0 - pu / den, 3.0 + pu / den)
-        key = jnp.where(gm, ang, 3.4e38)
+            vnx, vny, vnz = nxt(fvx), nxt(fvy), nxt(fvz)
+            dn = nxt(dist)
 
-        # Rank by (key, index) — unique ranks, stable for bitwise-equal keys.
-        lt = key[:, None, :] < key[None, :, :]                    # (2S,2S,BN)
-        eq = key[:, None, :] == key[None, :, :]
-        lower = pool_iota[:, None, :] < pool_iota[None, :, :]
-        rank = jnp.sum(
-            (lt | (eq & lower)).astype(jnp.int32), axis=0
-        )                                                         # (2S,BN)
-        perm = (rank[None] == pool_iota[:, None, :]).astype(f32)  # (2S,2S,BN)
-        srx = jnp.sum(perm * gx[None], axis=1)                    # (2S,BN)
-        sry = jnp.sum(perm * gy[None], axis=1)
-        srz = jnp.sum(perm * gz[None], axis=1)
-        smask = pool_iota < cnt[None, :]
-        prevx = jnp.concatenate([jnp.full_like(srx[:1], 3.4e38), srx[:-1]], 0)
-        prevy = jnp.concatenate([jnp.full_like(sry[:1], 3.4e38), sry[:-1]], 0)
-        prevz = jnp.concatenate([jnp.full_like(srz[:1], 3.4e38), srz[:-1]], 0)
-        dup = (srx == prevx) & (sry == prevy) & (srz == prevz)
-        keep = smask & ~dup
-        kpos = _cumsum1(
-            keep.astype(jnp.int32)[None].reshape(1, 2 * S, BN)
-        )[0]                                                      # (2S,BN)
-        n_cap = jnp.minimum(jnp.max(kpos, axis=0), S)             # (BN,)
-        selc = (keep[None] & (kpos[None] == cap_iota[:, None, :] + 1)).astype(f32)
-        capx = jnp.sum(selc * srx[None], axis=1)                  # (S,BN)
-        capy = jnp.sum(selc * sry[None], axis=1)
-        capz = jnp.sum(selc * srz[None], axis=1)
-        has_cap = n_cap >= 3
+            kept = m & (dist <= tol)
+            cross = m & (
+                ((dist < -tol) & (dn > tol)) | ((dist > tol) & (dn < -tol))
+            )
+            denom = dn - dist
+            safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+            pcx = (fvx * dn - vnx * dist) / safe
+            pcy = (fvy * dn - vny * dist) / safe
+            pcz = (fvz * dn - vnz * dist) / safe
 
-        # --- place cap into the first free face slot.
-        free = new_nv == 0                                        # (F,BN)
-        first_free = jnp.min(jnp.where(free, iota_f, F), axis=0)  # (BN,)
-        can_place = has_cap & (first_free < F)
-        put = (iota_f == first_free[None, :]) & can_place[None, :]  # (F,BN)
-        put3 = put[:, None, :]
-        new_fvx = jnp.where(put3, capx[None], out_fvx)
-        new_fvy = jnp.where(put3, capy[None], out_fvy)
-        new_fvz = jnp.where(put3, capz[None], out_fvz)
-        new_nv = jnp.where(put, n_cap[None, :], new_nv)
-        pnx2 = jnp.where(put, nx[None, :], pnx)
-        pny2 = jnp.where(put, ny[None, :], pny)
-        pnz2 = jnp.where(put, nz[None, :], pnz)
-        pd2 = jnp.where(put, d[None, :], pd)
+            # --- Sutherland–Hodgman stream: per slot, the kept vertex
+            # precedes the crossing point. Output positions are computed
+            # arithmetically (an interleaved 2S stream via stack+reshape
+            # does not lower in Mosaic — "invalid vector register cast" on
+            # the sublane interleave).
+            kc = kept.astype(jnp.int32)
+            cc = cross.astype(jnp.int32)
+            tot = _cumsum1(kc + cc)                              # (F,S,BN)
+            before = tot - kc - cc                               # exclusive
+            pos_k = before + 1                                   # 1-based
+            pos_c = before + kc + 1
+            # Last cumsum element == max (monotone); negative indexing
+            # lowers to dynamic_slice, unimplemented on arrays in Mosaic.
+            n_out = jnp.minimum(jnp.max(tot, axis=1), S)         # (F,BN)
 
-        # --- degenerate wipe: fewer than 4 live faces clears the polytope.
-        alive = (
-            jnp.sum((new_nv >= 3).astype(jnp.int32), axis=0) >= 4
-        )                                                         # (BN,)
-        new_nv = jnp.where(alive[None, :], new_nv, 0)
+            outx, outy, outz = [], [], []
+            for j in range(S):
+                selk = (kept & (pos_k == j + 1)).astype(f32)
+                selc = (cross & (pos_c == j + 1)).astype(f32)
+                outx.append(jnp.sum(selk * fvx + selc * pcx, axis=1))
+                outy.append(jnp.sum(selk * fvy + selc * pcy, axis=1))
+                outz.append(jnp.sum(selk * fvz + selc * pcz, axis=1))
+            out_fvx = jnp.stack(outx, axis=1)                    # (F,S,BN)
+            out_fvy = jnp.stack(outy, axis=1)
+            out_fvz = jnp.stack(outz, axis=1)
+            new_nv = jnp.where(n_out >= 3, n_out, 0)
 
-        return new_fvx, new_fvy, new_fvz, new_nv, pnx2, pny2, pnz2, pd2
+            # --- cap candidates: crossings + in-plane verts of touched
+            # faces.
+            face_touched = jnp.any(removed, axis=1)              # (F,BN)
+            inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None, :]
+            any_removed = jnp.any(
+                jnp.any(removed, axis=1), axis=0
+            )                                                    # (BN,)
+            ci = inplane & any_removed[None, None, :]
+            cx2 = cross & any_removed[None, None, :]
 
-    fvx, fvy, fvz, nv, pnx, pny, pnz, pd = jax.lax.fori_loop(
-        0, K, body, (fvx, fvy, fvz, nv, pnx, pny, pnz, pd)
-    )
+            # Per-face pool of CAPS candidates (parity with ops.clip truncation);
+            # per slot the in-plane vertex precedes the crossing point.
+            cic = ci.astype(jnp.int32)
+            cxc = cx2.astype(jnp.int32)
+            ctot = _cumsum1(cic + cxc)                               # (F,S,BN)
+            cbefore = ctot - cic - cxc
+            cpos_i = cbefore + 1
+            cpos_c = cbefore + cic + 1
+            poolx, pooly, poolz, poolm = [], [], [], []
+            for j in range(CAPS):
+                sel_ib = ci & (cpos_i == j + 1)
+                sel_cb = cx2 & (cpos_c == j + 1)
+                sel_i = sel_ib.astype(f32)
+                sel_c = sel_cb.astype(f32)
+                poolx.append(jnp.sum(sel_i * fvx + sel_c * pcx, axis=1))
+                pooly.append(jnp.sum(sel_i * fvy + sel_c * pcy, axis=1))
+                poolz.append(jnp.sum(sel_i * fvz + sel_c * pcz, axis=1))
+                # int32, not bool: Mosaic cannot relayout i1 vectors through
+                # the stack+reshape below ("invalid vector register cast").
+                poolm.append(jnp.any(sel_ib | sel_cb, axis=1).astype(jnp.int32))
+            # Flatten (F, CAPS) → (F*CAPS,) then compact across faces to 2S slots.
+            px = jnp.stack(poolx, axis=1).reshape(F * CAPS, BN)
+            py = jnp.stack(pooly, axis=1).reshape(F * CAPS, BN)
+            pz = jnp.stack(poolz, axis=1).reshape(F * CAPS, BN)
+            pm = jnp.stack(poolm, axis=1).reshape(F * CAPS, BN) > 0
+            gpos = _cumsum1(pm.astype(jnp.int32)[:, None, :].reshape(1, F * CAPS, BN))[0]
+            cnt = jnp.minimum(jnp.max(gpos, axis=0), 2 * S)          # (BN,)
+            # One-hot gather into the 2S-slot pool (vectorized, (2S, F*CAPS, BN)).
+            selp = (pm & (gpos[None] == pool_iota[:, None, :] + 1)).astype(f32)
+            gx = jnp.sum(selp * px[None], axis=1)                    # (2S,BN)
+            gy = jnp.sum(selp * py[None], axis=1)
+            gz = jnp.sum(selp * pz[None], axis=1)
+            gm = pool_iota < cnt[None, :]
 
-    ofvx_ref[:] = fvx.reshape(F * S, BN)
-    ofvy_ref[:] = fvy.reshape(F * S, BN)
-    ofvz_ref[:] = fvz.reshape(F * S, BN)
-    onv_ref[:] = nv
-    opnx_ref[:] = pnx
-    opny_ref[:] = pny
-    opnz_ref[:] = pnz
-    opd_ref[:] = pd
+            # Centroid + in-plane basis (u, v) for angular ordering.
+            fcnt = jnp.maximum(cnt.astype(f32), 1.0)
+            cx = jnp.sum(jnp.where(gm, gx, 0.0), axis=0) / fcnt       # (BN,)
+            cy = jnp.sum(jnp.where(gm, gy, 0.0), axis=0) / fcnt
+            cz = jnp.sum(jnp.where(gm, gz, 0.0), axis=0) / fcnt
+            nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+            nls = jnp.maximum(nl, 1e-30)
+            ux_n, uy_n, uz_n = nx / nls, ny / nls, nz / nls
+            ax_, ay_, az_ = jnp.abs(ux_n), jnp.abs(uy_n), jnp.abs(uz_n)
+            tx = (ax_ <= ay_) & (ax_ <= az_)
+            ty = ~tx & (ay_ <= az_)
+            ex = tx.astype(f32)
+            ey = ty.astype(f32)
+            ez = (~tx & ~ty).astype(f32)
+            # u = e × n, normalized; v = n × u.
+            ux = ey * uz_n - ez * uy_n
+            uy = ez * ux_n - ex * uz_n
+            uz = ex * uy_n - ey * ux_n
+            ul = jnp.maximum(jnp.sqrt(ux * ux + uy * uy + uz * uz), 1e-30)
+            ux, uy, uz = ux / ul, uy / ul, uz / ul
+            vx = uy_n * uz - uz_n * uy
+            vy = uz_n * ux - ux_n * uz
+            vz = ux_n * uy - uy_n * ux
+
+            rx, ry, rz = gx - cx[None], gy - cy[None], gz - cz[None]
+            pu = rx * ux[None] + ry * uy[None] + rz * uz[None]        # (2S,BN)
+            pv = rx * vx[None] + ry * vy[None] + rz * vz[None]
+            # Diamond pseudo-angle: same cyclic order as atan2(pv, pu).
+            den = jnp.maximum(jnp.abs(pu) + jnp.abs(pv), 1e-30)
+            ang = jnp.where(pv >= 0, 1.0 - pu / den, 3.0 + pu / den)
+            key = jnp.where(gm, ang, 3.4e38)
+
+            # Rank by (key, index) — unique ranks, stable for bitwise-equal keys.
+            lt = key[:, None, :] < key[None, :, :]                    # (2S,2S,BN)
+            eq = key[:, None, :] == key[None, :, :]
+            lower = pool_iota[:, None, :] < pool_iota[None, :, :]
+            rank = jnp.sum(
+                (lt | (eq & lower)).astype(jnp.int32), axis=0
+            )                                                         # (2S,BN)
+            perm = (rank[None] == pool_iota[:, None, :]).astype(f32)  # (2S,2S,BN)
+            srx = jnp.sum(perm * gx[None], axis=1)                    # (2S,BN)
+            sry = jnp.sum(perm * gy[None], axis=1)
+            srz = jnp.sum(perm * gz[None], axis=1)
+            smask = pool_iota < cnt[None, :]
+            prevx = jnp.concatenate([jnp.full_like(srx[:1], 3.4e38), srx[:-1]], 0)
+            prevy = jnp.concatenate([jnp.full_like(sry[:1], 3.4e38), sry[:-1]], 0)
+            prevz = jnp.concatenate([jnp.full_like(srz[:1], 3.4e38), srz[:-1]], 0)
+            dup = (srx == prevx) & (sry == prevy) & (srz == prevz)
+            keep = smask & ~dup
+            kpos = _cumsum1(
+                keep.astype(jnp.int32)[None].reshape(1, 2 * S, BN)
+            )[0]                                                      # (2S,BN)
+            n_cap = jnp.minimum(jnp.max(kpos, axis=0), S)             # (BN,)
+            selc = (keep[None] & (kpos[None] == cap_iota[:, None, :] + 1)).astype(f32)
+            capx = jnp.sum(selc * srx[None], axis=1)                  # (S,BN)
+            capy = jnp.sum(selc * sry[None], axis=1)
+            capz = jnp.sum(selc * srz[None], axis=1)
+            has_cap = n_cap >= 3
+
+            # --- place cap into the first free face slot.
+            free = new_nv == 0                                        # (F,BN)
+            first_free = jnp.min(jnp.where(free, iota_f, F), axis=0)  # (BN,)
+            can_place = has_cap & (first_free < F)
+            put = (iota_f == first_free[None, :]) & can_place[None, :]  # (F,BN)
+            put3 = put[:, None, :]
+            new_fvx = jnp.where(put3, capx[None], out_fvx)
+            new_fvy = jnp.where(put3, capy[None], out_fvy)
+            new_fvz = jnp.where(put3, capz[None], out_fvz)
+            new_nv = jnp.where(put, n_cap[None, :], new_nv)
+            pnx2 = jnp.where(put, nx[None, :], pnx)
+            pny2 = jnp.where(put, ny[None, :], pny)
+            pnz2 = jnp.where(put, nz[None, :], pnz)
+            pd2 = jnp.where(put, d[None, :], pd)
+
+            # --- degenerate wipe: fewer than 4 live faces clears the polytope.
+            alive = (
+                jnp.sum((new_nv >= 3).astype(jnp.int32), axis=0) >= 4
+            )                                                         # (BN,)
+            new_nv = jnp.where(alive[None, :], new_nv, 0)
+
+            ofvx_ref[:] = new_fvx.reshape(F * S, BN)
+            ofvy_ref[:] = new_fvy.reshape(F * S, BN)
+            ofvz_ref[:] = new_fvz.reshape(F * S, BN)
+            onv_ref[:] = new_nv
+            opnx_ref[:] = pnx2
+            opny_ref[:] = pny2
+            opnz_ref[:] = pnz2
+            opd_ref[:] = pd2
+
+        return 0
+
+    jax.lax.fori_loop(0, K, body, 0)
 
 
 @functools.partial(

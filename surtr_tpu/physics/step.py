@@ -77,6 +77,88 @@ def _broadphase(centers, lo, hi, owner, valid, K, block):
     return idx.reshape(-1, K)[:Np], ok.reshape(-1, K)[:Np]
 
 
+def _morton(centers, valid):
+    """30-bit Morton code of quantized centers; invalid rows sort last."""
+    big = jnp.asarray(BIG, centers.dtype)
+    lo = jnp.min(jnp.where(valid[:, None], centers, big), axis=0)
+    hi = jnp.max(jnp.where(valid[:, None], centers, -big), axis=0)
+    ext = jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip(
+        ((centers - lo) / ext * 1023.0).astype(jnp.int32), 0, 1023
+    )  # (Np, 3)
+
+    def spread(x):
+        # 10 bits → every 3rd bit (classic bit-spread).
+        x = (x | (x << 16)) & 0x030000FF
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.where(valid, code, jnp.int32(0x7FFFFFFF))
+
+
+def _broadphase_sorted(centers, lo, hi, owner, valid, K, window):
+    """Morton-window broadphase: sort by Morton code, test the ±window
+    sorted neighbors exactly (AABB overlap), keep the K nearest.
+
+    O(Np·window) instead of the blocked O(Np²) sweep. The window bounds
+    locality: spatial neighbors that land > window apart in Morton order are
+    missed — the same kind of capacity approximation as the K-neighbor cap
+    itself (PhysX's exact SAP has no reference source to mirror; SURVEY §7
+    hard-part 5)."""
+    Np = centers.shape[0]
+    code = _morton(centers, valid)
+    order = jnp.argsort(code)                       # (Np,) sorted → original
+    inv = jnp.argsort(order)                        # original → rank
+
+    # Sorted-domain copies.
+    c_s = centers[order]
+    lo_s, hi_s = lo[order], hi[order]
+    own_s, val_s = owner[order], valid[order]
+
+    r = jnp.arange(Np, dtype=jnp.int32)
+    deltas = jnp.concatenate(
+        [jnp.arange(1, window + 1, dtype=jnp.int32),
+         -jnp.arange(1, window + 1, dtype=jnp.int32)]
+    )                                                # (2W,)
+    cand = r[:, None] + deltas[None, :]              # (Np, 2W)
+    in_rng = (cand >= 0) & (cand < Np)
+    cand_c = jnp.clip(cand, 0, Np - 1)
+
+    pack = jnp.concatenate(
+        [c_s, lo_s, hi_s, own_s[:, None].astype(c_s.dtype),
+         val_s[:, None].astype(c_s.dtype)],
+        axis=1,
+    )                                                # (Np, 11)
+    pj = pack[cand_c]                                # (Np, 2W, 11)
+    cj, loj, hij = pj[..., 0:3], pj[..., 3:6], pj[..., 6:9]
+    ownj = pj[..., 9].astype(jnp.int32)
+    valj = pj[..., 10] > 0.5
+
+    overlap = jnp.all((lo_s[:, None] <= hij) & (loj <= hi_s[:, None]), -1)
+    ok = (
+        overlap & in_rng & valj & val_s[:, None]
+        & (ownj != own_s[:, None])
+    )
+    d2 = jnp.sum((c_s[:, None] - cj) ** 2, axis=-1)
+    score = jnp.where(ok, -d2, -BIG)
+    kk = min(K, deltas.shape[0])
+    neg, kidx = jax.lax.top_k(score, kk)             # (Np, kk) into 2W
+    if kk < K:
+        neg = jnp.pad(neg, ((0, 0), (0, K - kk)), constant_values=-BIG)
+        kidx = jnp.pad(kidx, ((0, 0), (0, K - kk)))
+    part_rank = jnp.take_along_axis(cand_c, kidx, axis=1)   # sorted idx
+    part_orig = order[part_rank]                     # (Np, K) original idx
+    pok_s = neg > -BIG / 2
+
+    # Back to original piece order.
+    pidx = part_orig[inv]
+    pok = pok_s[inv]
+    return pidx, pok
+
+
 def _stage_out(scene: PhysicsScene, *arrays) -> PhysicsScene:
     """Profiling early-exit: fold a reduction of the stage outputs into
     bodies.x so the truncated program keeps the stage's compute live."""
@@ -136,9 +218,16 @@ def physics_step(
         return _stage_out(scene, centers, lo, hi)
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
-    pidx, pok = _broadphase(
-        centers, lo, hi, scene.piece_owner, pvalid, K, cfg.broadphase_block
-    )
+    if cfg.broadphase == "sorted":
+        pidx, pok = _broadphase_sorted(
+            centers, lo, hi, scene.piece_owner, pvalid, K,
+            cfg.broadphase_window,
+        )
+    else:
+        pidx, pok = _broadphase(
+            centers, lo, hi, scene.piece_owner, pvalid, K,
+            cfg.broadphase_block,
+        )
     partner_lists = pidx[pidx]                     # (Np, K, K)
     me = jnp.arange(Np, dtype=jnp.int32)[:, None, None]
     mutual = jnp.any(partner_lists == me, axis=-1)
