@@ -108,7 +108,10 @@ def bench_physics_10k(n=10_000):
     from surtr_tpu.physics.step import physics_step
     from surtr_tpu.types import translate_poly, unit_cube
 
-    pcfg = PhysicsConfig()
+    # Fully shattered pile: every fragment is its own body, so the solver's
+    # gather-free single-piece path applies (identical results; the segment
+    # sums are the identity there).
+    pcfg = PhysicsConfig(single_piece_bodies=True)
     # A settled-pile-like lattice of unit-cube fragments (dense contacts).
     side = int(round(n ** (1 / 3)))
     while side * side * side < n:

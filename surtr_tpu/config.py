@@ -76,9 +76,23 @@ class PhysicsConfig:
                                    # 4+1 — Jacobi needs a few more)
     baumgarte: float = 0.2         # positional-bias factor
     contact_slop: float = 1e-3
+    bounce_threshold: float = 0.25 # approach speed below which restitution
+                                   # is suppressed (PhysX
+                                   # bounceThresholdVelocity semantics;
+                                   # PhysX defaults to 2.0 m/s — ours keeps
+                                   # resting stacks quiet at dt=1/120)
     max_neighbors: int = 8         # candidate contact pairs per body (broadphase)
     max_ground_contacts: int = 4   # deepest vertices used for ground manifold
     max_hull_verts: int = 64       # padded collision-hull vertex count
+    manifold_points: int = 4       # contact points per pair (face-face
+                                   # manifolds; 1 = single support point)
+    max_edge_dirs: int = 4         # distinct edge directions per hull used
+                                   # for SAT edge-cross axes (0 disables)
+    single_piece_bodies: bool = False
+                                   # static promise that every body owns
+                                   # exactly one piece (fully shattered
+                                   # scenes): enables the gather-free solver
+                                   # fast path (segment sums are identity)
     sleep_velocity: float = 0.0    # 0 disables sleeping
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep

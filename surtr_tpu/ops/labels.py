@@ -30,24 +30,73 @@ def tri_soup_components(
 
     corners: (T, 3, 3); returns (T,) i32 labels (min triangle index of the
     component; invalid triangles get T).
+
+    Sorted-run unioning: corners are hashed on a tol-resolution grid and
+    sorted by hash once; each label round floods the min label through every
+    equal-key run with log-step segmented minima. O(T log T) instead of the
+    round-1 (3T)² coincidence matrix, which OOM'd under the fracture
+    candidate vmap and kept islands off by default (VERDICT r1 item 5).
+    Clip products share corners bitwise (sign-symmetric intersections,
+    ops/clip.py), so grid quantization only risks a conservative SPLIT at
+    cell boundaries — the pipeline's solid-midpoint merge repairs those.
     """
     T = corners.shape[0]
-    pts = corners.reshape(3 * T, 3)
+    E = 3 * T
+    pts = corners.reshape(E, 3)
     cm = jnp.repeat(tri_valid, 3)
-    # Corner-corner coincidence matrix (3T, 3T).
-    d2 = jnp.sum((pts[:, None] - pts[None]) ** 2, axis=-1)
-    same = (d2 <= tol * tol) & cm[:, None] & cm[None, :]
+    idx_e = jnp.arange(E, dtype=jnp.int32)
 
+    q = jnp.round(pts / tol).astype(jnp.int32)
+    h = (
+        q[:, 0] * jnp.int32(73856093)
+        ^ q[:, 1] * jnp.int32(19349663)
+        ^ q[:, 2] * jnp.int32(83492791)
+    )
+    # Invalid corners get unique keys so they never union with anything.
+    key = jnp.where(cm, h, jnp.int32(0x40000000) + idx_e)
+    order = jnp.argsort(key)                          # sorted → original
+    inv = jnp.argsort(order)                          # original → rank
+    ks = key[order]
+    run_start = jnp.concatenate(
+        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
+    )
+    rid = jnp.cumsum(run_start.astype(jnp.int32))     # run id per rank
+
+    big = jnp.asarray(T, jnp.int32)
     label = jnp.where(tri_valid, jnp.arange(T, dtype=jnp.int32), T)
 
+    def run_min(cl):
+        """Min within each equal-key run (log-step, both directions)."""
+        m = cl
+        d = 1
+        while d < E:
+            frm = jnp.concatenate([jnp.full((d,), big), m[:-d]])
+            same = jnp.concatenate(
+                [jnp.zeros((d,), bool), rid[d:] == rid[:-d]]
+            )
+            m = jnp.minimum(m, jnp.where(same, frm, big))
+            d *= 2
+        d = 1
+        while d < E:
+            frm = jnp.concatenate([m[d:], jnp.full((d,), big)])
+            same = jnp.concatenate(
+                [rid[:-d] == rid[d:], jnp.zeros((d,), bool)]
+            )
+            m = jnp.minimum(m, jnp.where(same, frm, big))
+            d *= 2
+        return m
+
     def step(label, _):
-        cl = jnp.repeat(label, 3)                            # (3T,)
-        big = jnp.asarray(T, jnp.int32)
-        neigh = jnp.min(jnp.where(same, cl[None, :], big), axis=1)
-        new = jnp.minimum(cl, neigh).reshape(T, 3).min(axis=1)
+        cl = jnp.repeat(label, 3)[order]              # (E,) sorted domain
+        flooded = run_min(cl)[inv]                    # back to original
+        new = jnp.minimum(
+            jnp.repeat(label, 3), flooded
+        ).reshape(T, 3).min(axis=1)
         new = jnp.where(tri_valid, new, T)
         # Pointer jumping: label ← label[label].
-        new = jnp.minimum(new, jnp.concatenate([new, jnp.array([T], jnp.int32)])[new])
+        new = jnp.minimum(
+            new, jnp.concatenate([new, jnp.array([T], jnp.int32)])[new]
+        )
         return new, None
 
     label, _ = jax.lax.scan(step, label, None, length=iters)

@@ -37,6 +37,8 @@ class PhysicsScene:
     piece_vmask: jax.Array   # (Np, Vh) bool
     piece_planes: jax.Array  # (Np, F, 4) body-frame planes
     piece_pmask: jax.Array   # (Np, F) bool
+    piece_edges: jax.Array   # (Np, Ne, 3) distinct body-frame edge directions
+    piece_emask: jax.Array   # (Np, Ne) bool
     seg_start: jax.Array     # (B+1,) piece-run offsets per body (sorted owner)
 
     @property
@@ -67,6 +69,51 @@ def _dedup_verts(fv: jax.Array, sm: jax.Array, Vh: int):
     )
     cnt = jnp.minimum(jnp.sum(is_first), Vh)
     return out, jnp.arange(Vh) < cnt
+
+
+def _edge_dirs(poly_fv: jax.Array, nv: jax.Array, Ne: int):
+    """Up to ``Ne`` distinct edge directions of one convex (greedy max-min
+    angular selection over the face-loop edges). Gather-free (one-hot picks).
+
+    poly_fv: (F, S, 3) face loops; nv: (F,). Returns ((Ne, 3) unit dirs in
+    canonical sign, (Ne,) mask). Feeds the SAT edge-cross axes — the axis
+    family PhysX covers via full convex-convex SAT (no reference source;
+    SURVEY §7 hard-part 5)."""
+    F, S = poly_fv.shape[0], poly_fv.shape[1]
+    slot = jnp.arange(S, dtype=jnp.int32)
+    m = slot[None, :] < nv[:, None]
+    rolled = jnp.concatenate([poly_fv[:, 1:], poly_fv[:, :1]], axis=1)
+    is_last = slot[None, :] == nv[:, None] - 1
+    v_next = jnp.where(is_last[..., None], poly_fv[:, :1], rolled)
+    d = (v_next - poly_fv).reshape(F * S, 3)
+    valid = m.reshape(F * S)
+    ln = jnp.linalg.norm(d, axis=-1)
+    valid = valid & (ln > 1e-9)
+    u = d / jnp.maximum(ln, 1e-30)[:, None]
+    # Canonical sign: first significant component positive (antipodal dirs
+    # coincide).
+    sx = jnp.where(jnp.abs(u[:, 0]) > 1e-4, jnp.sign(u[:, 0]), 0.0)
+    sy = jnp.where(jnp.abs(u[:, 1]) > 1e-4, jnp.sign(u[:, 1]), 0.0)
+    sz = jnp.where(u[:, 2] >= 0, 1.0, -1.0)
+    s = jnp.where(sx != 0, sx, jnp.where(sy != 0, sy, sz))
+    u = u * s[:, None]
+
+    chosen, cmask = [], []
+    # min over chosen of (1 - |u·c|); large before any pick.
+    dissim = jnp.where(valid, 2.0, -1.0)
+    for _ in range(Ne):
+        score = jnp.where(valid, dissim, -1.0)
+        best = score >= jnp.max(score, axis=-1, keepdims=True)
+        best = best & (jnp.cumsum(best.astype(jnp.int32)) == 1)
+        w = best.astype(u.dtype)
+        c = jnp.sum(w[:, None] * u, axis=0)
+        ok = jnp.max(score) > 2e-2  # skip near-duplicates of chosen dirs
+        chosen.append(c)
+        cmask.append(ok)
+        dissim = jnp.minimum(
+            dissim, 1.0 - jnp.abs(jnp.sum(u * c[None], axis=-1))
+        )
+    return jnp.stack(chosen), jnp.stack(cmask)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "max_bodies"))
@@ -129,6 +176,10 @@ def build_scene(
     )
     planes_local = jnp.concatenate([n, dpl], axis=-1)
 
+    edges, emask = jax.vmap(
+        lambda fv, nv: _edge_dirs(fv, nv, cfg.max_edge_dirs)
+    )(fv_local, pieces.convex.n_verts)
+
     # Sort pieces by owner so per-body reductions are segmented cumsums
     # (the step is scatter-free; see physics/step.py docstring).
     owner_raw = jnp.where(pieces.valid, pieces.group, -1).astype(jnp.int32)
@@ -148,6 +199,8 @@ def build_scene(
         piece_vmask=(vmask & pieces.valid[:, None])[order],
         piece_planes=planes_local[order],
         piece_pmask=(pieces.convex.face_mask() & pieces.valid[:, None])[order],
+        piece_edges=edges[order],
+        piece_emask=(emask & pieces.valid[:, None])[order],
         seg_start=seg_start,
     )
 

@@ -2,18 +2,24 @@
 ``simulate(1/120)/fetchResults`` (/root/reference/Src/Surtr.cpp:330-331).
 
 One call = one fixed 1/120 s step, entirely on device:
-  1. world hull transform (VPU broadcast rotations),
-  2. blocked k-nearest AABB broadphase, symmetrized to *mutual* candidate
-     lists,
-  3. narrowphase: SAT over the 26-DOP axis set + both pieces' face normals;
-     contacts live in a fixed piece-major (Np, K+G) slot layout — every piece
-     owns its K pair slots and G ground slots,
+  1. world hull transforms (VPU broadcast rotations) + per-piece 26-DOP
+     support intervals,
+  2. Morton-window broadphase: sort by Morton code, test the ±window sorted
+     neighbors exactly (AABB), keep the K nearest — candidates come from
+     ROLLS of the sorted table, not gathers. Symmetrized to mutual lists.
+     (A blocked O(N²) exact sweep remains via cfg.broadphase="exact".)
+  3. narrowphase SAT over {26-DOP axes, faces of both hulls (via plane
+     distances), edge×edge cross axes} + a containment manifold: up to M
+     contact points per pair = each hull's vertices inside the other hull,
+     deepest first, with a single support-point fallback (the PhysX-style
+     multi-point manifold PARITY.md flagged as missing in round 1).
   4. Jacobi projected-impulse solver with mass splitting, Baumgarte bias,
      Coulomb friction μ=0.5, restitution 0.1 (PxMaterial parity,
      Surtr.cpp:1160). Each side of a mutual pair computes the same impulse
-     and applies only its own half — so the whole solver is reshape-sums and
-     plain gathers: NO scatter anywhere (TPU batched scatters cost ~40 ms;
-     see ops/clip.py performance note),
+     and applies only its own half — reshape-sums and plain gathers, NO
+     scatter anywhere (TPU batched scatters cost ~40 ms). With
+     cfg.single_piece_bodies the per-body reduction is the identity and the
+     solver runs gather-free on the own-body side.
   5. symplectic Euler integration with quaternion renormalization.
 
 Piece→body reduction uses the sorted-owner segmented-cumsum trick: build_scene
@@ -29,15 +35,20 @@ import jax.numpy as jnp
 
 from surtr_tpu.config import PhysicsConfig
 from surtr_tpu.ops.kdop import dop26_directions
-from surtr_tpu.ops.linalg import matvec3
+from surtr_tpu.ops.linalg import matvec3, rot_points
 from surtr_tpu.physics.rigid import quat_integrate, quat_to_mat, world_inv_inertia
 from surtr_tpu.physics.scene import PhysicsScene, piece_world_verts
 
 BIG = 3.4e38
 
 
+# ---------------------------------------------------------------------------
+# broadphase
+# ---------------------------------------------------------------------------
+
+
 def _broadphase(centers, lo, hi, owner, valid, K, block):
-    """Top-K nearest overlapping candidates per piece; (Np, K) idx + mask."""
+    """Exact blocked O(N²) sweep: top-K nearest overlapping candidates."""
     Np = centers.shape[0]
     nblk = (Np + block - 1) // block
     pad = nblk * block - Np
@@ -103,53 +114,53 @@ def _broadphase_sorted(centers, lo, hi, owner, valid, K, window):
     """Morton-window broadphase: sort by Morton code, test the ±window
     sorted neighbors exactly (AABB overlap), keep the K nearest.
 
-    O(Np·window) instead of the blocked O(Np²) sweep. The window bounds
-    locality: spatial neighbors that land > window apart in Morton order are
-    missed — the same kind of capacity approximation as the K-neighbor cap
-    itself (PhysX's exact SAP has no reference source to mirror; SURVEY §7
-    hard-part 5)."""
+    O(Np·window) instead of the blocked O(Np²) sweep, and the candidate
+    tables are ROLLS of the sorted table (no mid-sized gathers — XLA TPU
+    row gathers measured ~ms-scale at these shapes). The window bounds
+    locality: spatial neighbors landing > window apart in Morton order are
+    missed — the same capacity approximation as the K-neighbor cap itself.
+    """
     Np = centers.shape[0]
     code = _morton(centers, valid)
     order = jnp.argsort(code)                       # (Np,) sorted → original
     inv = jnp.argsort(order)                        # original → rank
 
-    # Sorted-domain copies.
-    c_s = centers[order]
-    lo_s, hi_s = lo[order], hi[order]
-    own_s, val_s = owner[order], valid[order]
-
-    r = jnp.arange(Np, dtype=jnp.int32)
-    deltas = jnp.concatenate(
-        [jnp.arange(1, window + 1, dtype=jnp.int32),
-         -jnp.arange(1, window + 1, dtype=jnp.int32)]
-    )                                                # (2W,)
-    cand = r[:, None] + deltas[None, :]              # (Np, 2W)
-    in_rng = (cand >= 0) & (cand < Np)
-    cand_c = jnp.clip(cand, 0, Np - 1)
-
     pack = jnp.concatenate(
-        [c_s, lo_s, hi_s, own_s[:, None].astype(c_s.dtype),
-         val_s[:, None].astype(c_s.dtype)],
+        [centers, lo, hi, owner[:, None].astype(centers.dtype),
+         valid[:, None].astype(centers.dtype)],
         axis=1,
-    )                                                # (Np, 11)
-    pj = pack[cand_c]                                # (Np, 2W, 11)
-    cj, loj, hij = pj[..., 0:3], pj[..., 3:6], pj[..., 6:9]
-    ownj = pj[..., 9].astype(jnp.int32)
-    valj = pj[..., 10] > 0.5
+    )[order]                                        # (Np, 11) one gather
+
+    deltas = list(range(1, window + 1)) + [-d for d in range(1, window + 1)]
+    cand = jnp.stack(
+        [jnp.roll(pack, -d, axis=0) for d in deltas], axis=1
+    )                                               # (Np, 2W, 11)
+    r = jnp.arange(Np, dtype=jnp.int32)
+    didx = jnp.asarray(deltas, jnp.int32)
+    rank_j = r[:, None] + didx[None, :]
+    in_rng = (rank_j >= 0) & (rank_j < Np)
+
+    c_s, lo_s, hi_s = pack[:, 0:3], pack[:, 3:6], pack[:, 6:9]
+    own_s = pack[:, 9].astype(jnp.int32)
+    val_s = pack[:, 10] > 0.5
+    cj, loj, hij = cand[..., 0:3], cand[..., 3:6], cand[..., 6:9]
+    ownj = cand[..., 9].astype(jnp.int32)
+    valj = cand[..., 10] > 0.5
 
     overlap = jnp.all((lo_s[:, None] <= hij) & (loj <= hi_s[:, None]), -1)
     ok = (
-        overlap & in_rng & valj & val_s[:, None]
-        & (ownj != own_s[:, None])
+        overlap & in_rng & valj & val_s[:, None] & (ownj != own_s[:, None])
     )
     d2 = jnp.sum((c_s[:, None] - cj) ** 2, axis=-1)
     score = jnp.where(ok, -d2, -BIG)
-    kk = min(K, deltas.shape[0])
+    kk = min(K, len(deltas))
     neg, kidx = jax.lax.top_k(score, kk)             # (Np, kk) into 2W
     if kk < K:
         neg = jnp.pad(neg, ((0, 0), (0, K - kk)), constant_values=-BIG)
         kidx = jnp.pad(kidx, ((0, 0), (0, K - kk)))
-    part_rank = jnp.take_along_axis(cand_c, kidx, axis=1)   # sorted idx
+    part_rank = jnp.clip(
+        r[:, None] + didx[kidx], 0, Np - 1
+    )                                                # (Np, K) sorted idx
     part_orig = order[part_rank]                     # (Np, K) original idx
     pok_s = neg > -BIG / 2
 
@@ -157,6 +168,11 @@ def _broadphase_sorted(centers, lo, hi, owner, valid, K, window):
     pidx = part_orig[inv]
     pok = pok_s[inv]
     return pidx, pok
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
 
 
 def _stage_out(scene: PhysicsScene, *arrays) -> PhysicsScene:
@@ -189,6 +205,11 @@ def _segment_sums(piece_vals: jax.Array, seg_start: jax.Array):
     return csum[seg_start[1:]] - csum[seg_start[:-1]]
 
 
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "profile_stage"))
 def physics_step(
     scene: PhysicsScene, cfg: PhysicsConfig, profile_stage: int = 99
@@ -201,10 +222,16 @@ def physics_step(
     Np, B = scene.Np, scene.B
     K = cfg.max_neighbors
     G = cfg.max_ground_contacts
-    C = K + G
+    M = max(1, cfg.manifold_points)
+    Ne = cfg.max_edge_dirs
+    C = K * M + G
+    # The gather-free fast path needs row i ↔ body i, which holds exactly
+    # when every body owns one piece and the pools are the same size.
+    single = cfg.single_piece_bodies and scene.Np == scene.B
 
-    # --- 1. world transforms
+    # --- 1. world transforms + 26-DOP support intervals.
     wverts, wmask = piece_world_verts(scene)                   # (Np, Vh, 3)
+    Vh = wverts.shape[1]
     owner = jnp.clip(scene.piece_owner, 0, B - 1)
     pvalid = scene.piece_valid & (scene.piece_owner >= 0)
     big = jnp.asarray(BIG, wverts.dtype)
@@ -214,8 +241,25 @@ def physics_step(
     lo, hi = lo - margin, hi + margin
     centers = jnp.where(pvalid[:, None], (lo + hi) * 0.5, big)
 
+    Rw = quat_to_mat(bodies.q)[owner]
+    x_own = bodies.x[owner]
+    wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])    # (Np, F, 3)
+    Fp = wplanes_n.shape[1]
+    wplanes_d = scene.piece_planes[..., 3] - jnp.sum(
+        wplanes_n * x_own[:, None, :], axis=-1
+    )                                                          # (Np, F)
+    wedges = rot_points(Rw, scene.piece_edges)                 # (Np, Ne, 3)
+
+    base = dop26_directions(wverts.dtype)                      # (13, 3)
+    t_dop = jnp.sum(
+        wverts[:, :, None, :] * base[None, None], axis=-1
+    )                                                          # (Np, Vh, 13)
+    mdop = wmask[..., None]
+    lo_dop = jnp.min(jnp.where(mdop, t_dop, big), axis=1)      # (Np, 13)
+    hi_dop = jnp.max(jnp.where(mdop, t_dop, -big), axis=1)
+
     if profile_stage <= 1:
-        return _stage_out(scene, centers, lo, hi)
+        return _stage_out(scene, centers, lo_dop, hi_dop)
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
     if cfg.broadphase == "sorted":
@@ -236,89 +280,170 @@ def physics_step(
     if profile_stage <= 2:
         return _stage_out(scene, pidx, pok)
 
-    # --- 3a. pair narrowphase (SAT), piece-major slots (Np, K).
-    from surtr_tpu.ops.linalg import rot_points
-
-    Rw = quat_to_mat(bodies.q)[owner]
-    wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])    # (Np, F, 3)
-    base = dop26_directions(wverts.dtype)                      # (13, 3)
-
-    # Gather-count discipline: each big batched gather costs ~ms on the
-    # tunnel regardless of payload, so the j-side hull data is packed into
-    # ONE contiguous array and gathered once; the i-side needs no gather at
-    # all (broadcast along the K axis).
-    Vh = wverts.shape[1]
-    Fp = wplanes_n.shape[1]
-    packed = jnp.concatenate(
-        [
-            wverts.reshape(Np, Vh * 3),
-            wmask.astype(wverts.dtype),
-            wplanes_n.reshape(Np, Fp * 3),
-            scene.piece_pmask.astype(wverts.dtype),
-        ],
-        axis=1,
-    )                                                          # (Np, D)
+    # --- 3a. pair narrowphase (SAT), piece-major pair slots (Np, K).
+    # Gather-count discipline: ONE packed gather brings every per-partner
+    # table; the i-side needs no gather (broadcast along K).
+    nEd = max(Ne, 0)
+    parts = [
+        wverts.reshape(Np, Vh * 3),
+        wmask.astype(wverts.dtype),
+        wplanes_n.reshape(Np, Fp * 3),
+        wplanes_d,
+        scene.piece_pmask.astype(wverts.dtype),
+        lo_dop, hi_dop,
+    ]
+    if nEd:
+        parts += [
+            wedges.reshape(Np, nEd * 3),
+            scene.piece_emask.astype(wverts.dtype),
+        ]
+    packed = jnp.concatenate(parts, axis=1)                    # (Np, D)
     pj = packed[pidx]                                          # (Np, K, D)
     o = 0
     jverts = pj[..., o : o + Vh * 3].reshape(Np, K, Vh, 3); o += Vh * 3
     jmask = pj[..., o : o + Vh] > 0.5; o += Vh
-    jplanes = pj[..., o : o + Fp * 3].reshape(Np, K, Fp, 3); o += Fp * 3
-    jpmask = pj[..., o : o + Fp] > 0.5
+    jplanes_n = pj[..., o : o + Fp * 3].reshape(Np, K, Fp, 3); o += Fp * 3
+    jplanes_d = pj[..., o : o + Fp]; o += Fp
+    jpmask = pj[..., o : o + Fp] > 0.5; o += Fp
+    jlo_dop = pj[..., o : o + 13]; o += 13
+    jhi_dop = pj[..., o : o + 13]; o += 13
+    if nEd:
+        jedges = pj[..., o : o + nEd * 3].reshape(Np, K, nEd, 3); o += nEd * 3
+        jemask = pj[..., o : o + nEd] > 0.5
 
-    nA = base.shape[0]
-    D = nA + 2 * Fp
-    axes = jnp.concatenate(
-        [
-            jnp.broadcast_to(base[None, None], (Np, K, nA, 3)),
-            jnp.broadcast_to(wplanes_n[:, None], (Np, K, Fp, 3)),
-            jplanes,
-        ],
-        axis=2,
-    )                                                          # (Np, K, D, 3)
-    amask = jnp.concatenate(
-        [
-            jnp.ones((Np, K, nA), bool),
-            jnp.broadcast_to(scene.piece_pmask[:, None], (Np, K, Fp)),
-            jpmask,
-        ],
-        axis=2,
+    pens, axdirs, axmask = [], [], []
+
+    # (1) 26-DOP axes: precomputed per-piece intervals → pure interval math.
+    ov_dop = jnp.minimum(hi_dop[:, None], jhi_dop) - jnp.maximum(
+        lo_dop[:, None], jlo_dop
+    )                                                          # (Np, K, 13)
+    mid_flip = (hi_dop + lo_dop)[:, None] < (jhi_dop + jlo_dop)
+    dir_dop = jnp.where(
+        mid_flip[..., None], -base[None, None], base[None, None]
     )
-    # Supports of i (broadcast) and j along all D axes.
-    si = jnp.sum(
-        wverts[:, None, :, None, :] * axes[:, :, None, :, :], axis=-1
-    )                                                          # (Np, K, Vh, D)
-    sj = jnp.sum(jverts[..., None, :] * axes[:, :, None, :, :], axis=-1)
-    mi = wmask[:, None, :, None]
-    mj = jmask[..., None]
-    si_max = jnp.max(jnp.where(mi, si, -BIG), axis=2)
-    si_min = jnp.min(jnp.where(mi, si, BIG), axis=2)
-    sj_max = jnp.max(jnp.where(mj, sj, -BIG), axis=2)
-    sj_min = jnp.min(jnp.where(mj, sj, BIG), axis=2)
-    ov = jnp.minimum(si_max, sj_max) - jnp.maximum(si_min, sj_min)
-    ov = jnp.where(amask, ov, BIG)                             # (Np, K, D)
-    a = jnp.argmin(ov, axis=-1)
-    depth = jnp.take_along_axis(ov, a[..., None], axis=-1)[..., 0]
-    axis_sel = jnp.take_along_axis(
-        axes, a[..., None, None], axis=2
-    )[..., 0, :]                                               # (Np, K, 3)
-    mid_i = jnp.take_along_axis(si_max + si_min, a[..., None], -1)[..., 0]
-    mid_j = jnp.take_along_axis(sj_max + sj_min, a[..., None], -1)[..., 0]
-    flip = mid_i < mid_j
-    pc_n = jnp.where(flip[..., None], -axis_sel, axis_sel)
-    # Deepest supports along the contact normal.
-    ti = jnp.sum(wverts[:, None] * -pc_n[:, :, None, :], axis=-1)
-    tj = jnp.sum(jverts * pc_n[:, :, None, :], axis=-1)
-    pi_idx = jnp.argmax(jnp.where(wmask[:, None], ti, -BIG), axis=-1)  # (Np, K)
-    pj_idx = jnp.argmax(jnp.where(jmask, tj, -BIG), axis=-1)
-    pi_pt = jnp.take_along_axis(wverts, pi_idx[..., None], axis=1)  # (Np, K, 3)
+    pens.append(ov_dop)
+    axdirs.append(jnp.broadcast_to(dir_dop, (Np, K, 13, 3)))
+    axmask.append(jnp.ones((Np, K, 13), bool))
+
+    # (2) i-verts against j's face planes: penetration = -min signed dist.
+    # Face support of the owning hull is 0 by construction, so the interval
+    # overlap along a face axis IS the negated minimum vertex distance.
+    dist_ij = (
+        jnp.sum(wverts[:, None, :, None, :] * jplanes_n[:, :, None], -1)
+        + jplanes_d[:, :, None, :]
+    )                                                          # (Np,K,Vh,F)
+    mi4 = wmask[:, None, :, None]
+    pen_fj = -jnp.min(jnp.where(mi4, dist_ij, big), axis=2)    # (Np,K,F)
+    pens.append(pen_fj)
+    axdirs.append(jplanes_n)                                   # n_j points j→i
+    axmask.append(jpmask)
+
+    # (3) j-verts against i's face planes.
+    dist_ji = (
+        jnp.sum(jverts[:, :, :, None, :] * wplanes_n[:, None, None], -1)
+        + wplanes_d[:, None, None, :]
+    )                                                          # (Np,K,Vh,F)
+    mj4 = jmask[..., None]
+    pen_fi = -jnp.min(jnp.where(mj4, dist_ji, big), axis=2)
+    pens.append(pen_fi)
+    axdirs.append(jnp.broadcast_to(-wplanes_n[:, None], (Np, K, Fp, 3)))
+    axmask.append(jnp.broadcast_to(scene.piece_pmask[:, None], (Np, K, Fp)))
+
+    # (4) edge×edge cross axes.
+    if nEd:
+        E2 = nEd * nEd
+        ex = jnp.cross(
+            wedges[:, None, :, None, :], jedges[:, :, None, :, :]
+        ).reshape(Np, K, E2, 3)
+        exn = jnp.linalg.norm(ex, axis=-1)
+        ex = ex / jnp.maximum(exn, 1e-30)[..., None]
+        emask2 = (
+            (scene.piece_emask[:, None, :, None] & jemask[:, :, None, :])
+            .reshape(Np, K, E2)
+            & (exn > 1e-6)
+        )
+        ti = jnp.sum(
+            wverts[:, None, :, None, :] * ex[:, :, None], -1
+        )                                                      # (Np,K,Vh,E2)
+        tj = jnp.sum(jverts[..., None, :] * ex[:, :, None], -1)
+        ilo = jnp.min(jnp.where(mi4, ti, big), 2)
+        ihi = jnp.max(jnp.where(mi4, ti, -big), 2)
+        jlo = jnp.min(jnp.where(mj4, tj, big), 2)
+        jhi = jnp.max(jnp.where(mj4, tj, -big), 2)
+        ov_e = jnp.minimum(ihi, jhi) - jnp.maximum(ilo, jlo)
+        flip_e = (ihi + ilo) < (jhi + jlo)
+        dir_e = jnp.where(flip_e[..., None], -ex, ex)
+        pens.append(ov_e)
+        axdirs.append(dir_e)
+        axmask.append(emask2)
+
+    pen_all = jnp.concatenate(pens, axis=2)                    # (Np,K,D)
+    dir_all = jnp.concatenate(axdirs, axis=2)                  # (Np,K,D,3)
+    msk_all = jnp.concatenate(axmask, axis=2)
+    pen_all = jnp.where(msk_all, pen_all, BIG)
+    a = jnp.argmin(pen_all, axis=-1)
+    depth = jnp.take_along_axis(pen_all, a[..., None], axis=-1)[..., 0]
+    pc_n = jnp.take_along_axis(
+        dir_all, a[..., None, None], axis=2
+    )[..., 0, :]                                               # (Np,K,3) j→i
+    pair_hit = pok & (depth > -cfg.contact_slop) & (depth < BIG / 2)
+
+    # --- 3b. containment manifold: each hull's verts inside the other.
+    slop = cfg.contact_slop
+    si_n = jnp.sum(wverts[:, None] * pc_n[:, :, None, :], -1)  # (Np,K,Vh)
+    sj_n = jnp.sum(jverts * pc_n[:, :, None, :], -1)
+    si_min = jnp.min(jnp.where(wmask[:, None], si_n, big), -1)  # (Np,K)
+    sj_max = jnp.max(jnp.where(jmask, sj_n, -big), -1)
+    inside_j = (
+        jnp.max(jnp.where(jpmask[:, :, None, :], dist_ij, -big), -1) <= slop
+    )                                                          # (Np,K,Vh)
+    inside_i = (
+        jnp.max(
+            jnp.where(scene.piece_pmask[:, None, None, :], dist_ji, -big), -1
+        )
+        <= slop
+    )
+    depth_iv = sj_max[..., None] - si_n                        # (Np,K,Vh)
+    depth_jv = sj_n - si_min[..., None]
+    score_i = jnp.where(inside_j & wmask[:, None], depth_iv, -BIG)
+    score_j = jnp.where(inside_i & jmask, depth_jv, -BIG)
+    scores = jnp.concatenate([score_i, score_j], axis=-1)      # (Np,K,2Vh)
+    pts_i = wverts[:, None] + pc_n[:, :, None, :] * (depth_iv[..., None] * 0.5)
+    pts_j = jverts - pc_n[:, :, None, :] * (depth_jv[..., None] * 0.5)
+    pts_all = jnp.concatenate([pts_i, pts_j], axis=2)          # (Np,K,2Vh,3)
+    mvals, midx = jax.lax.top_k(scores, M)                     # (Np,K,M)
+    mpts = jnp.take_along_axis(pts_all, midx[..., None], axis=2)
+    mhit = pair_hit[..., None] & (mvals > -slop) & (mvals < BIG / 2)
+
+    # Fallback: deepest support points when no vertex is contained
+    # (edge-edge crossings contain no vertex of either hull).
+    ti_f = -si_n
+    tj_f = sj_n
+    pi_idx = jnp.argmax(jnp.where(wmask[:, None], ti_f, -BIG), axis=-1)
+    pj_idx = jnp.argmax(jnp.where(jmask, tj_f, -BIG), axis=-1)
+    pi_pt = jnp.take_along_axis(wverts, pi_idx[..., None], axis=1)  # (Np,K,3)
     pj_pt = jnp.take_along_axis(
         jverts, pj_idx[..., None, None], axis=2
     )[:, :, 0, :]
-    pc_p = 0.5 * (pi_pt + pj_pt)
-    pc_hit = pok & (depth > -cfg.contact_slop) & (depth < BIG / 2)
-    pc_d = jnp.maximum(depth, 0.0)
+    fb_pt = 0.5 * (pi_pt + pj_pt)
+    none = pair_hit & ~jnp.any(mhit, axis=-1)
+    mpts = mpts.at[:, :, 0, :].set(
+        jnp.where(none[..., None], fb_pt, mpts[:, :, 0, :])
+    )
+    mvals = mvals.at[:, :, 0].set(jnp.where(none, depth, mvals[:, :, 0]))
+    mhit = mhit.at[:, :, 0].set(mhit[:, :, 0] | none)
 
-    # --- 3b. ground contacts: deepest G verts below y = ground_y.
+    pc_p = mpts.reshape(Np, K * M, 3)
+    pc_d = jnp.maximum(mvals.reshape(Np, K * M), 0.0)
+    pc_hit = mhit.reshape(Np, K * M)
+    pc_nrm = jnp.broadcast_to(
+        pc_n[:, :, None, :], (Np, K, M, 3)
+    ).reshape(Np, K * M, 3)
+    pc_partner = jnp.broadcast_to(
+        pidx[:, :, None], (Np, K, M)
+    ).reshape(Np, K * M)
+
+    # --- 3c. ground contacts: deepest G verts below y = ground_y.
     depth_v = cfg.ground_y - wverts[..., 1]
     below = wmask & (depth_v > -cfg.contact_slop)
     gd, gidx = jax.lax.top_k(jnp.where(below, depth_v, -BIG), G)
@@ -327,12 +452,12 @@ def physics_step(
     up = jnp.zeros((Np, G, 3), wverts.dtype).at[..., 1].set(1.0)
 
     # --- assemble (Np, C) contact slots.
-    nrm = jnp.concatenate([pc_n, up], axis=1)
+    nrm = jnp.concatenate([pc_nrm, up], axis=1)
     pts = jnp.concatenate([pc_p, g_pts], axis=1)
     dep = jnp.concatenate([pc_d, jnp.maximum(gd, 0.0)], axis=1)
     hit = jnp.concatenate([pc_hit, g_hit], axis=1)
     partner_piece = jnp.concatenate(
-        [pidx, jnp.full((Np, G), -1, jnp.int32)], axis=1
+        [pc_partner, jnp.full((Np, G), -1, jnp.int32)], axis=1
     )
     is_static = partner_piece < 0
     partner_body = jnp.where(
@@ -350,11 +475,11 @@ def physics_step(
     w0 = bodies.w
 
     myb = owner                                               # (Np,)
-    rA = pts - bodies.x[myb][:, None]                         # (Np, C, 3)
+    rA = pts - x_own[:, None]                                 # (Np, C, 3)
     rB = pts - bodies.x[partner_body]                         # (Np, C, 3)
-    iA_m = inv_m[myb][:, None]                                # (Np, 1)
+    iA_m = (inv_m[myb] if not single else inv_m)[:, None]     # (Np, 1)
     iB_m = jnp.where(is_static, 0.0, inv_m[partner_body])
-    iA_I = inv_I[myb][:, None]                                # (Np, 1, 3, 3)
+    iA_I = (inv_I[myb] if not single else inv_I)[:, None]     # (Np,1,3,3)
     iB_I = jnp.where(
         is_static[..., None, None], 0.0, inv_I[partner_body]
     )
@@ -366,19 +491,48 @@ def physics_step(
     kn = k_term(iA_m, iA_I, rA, nrm) + k_term(iB_m, iB_I, rB, nrm)
     m_eff = jnp.where(hit & (kn > 1e-12), 1.0 / jnp.maximum(kn, 1e-12), 0.0)
 
-    def rel_vel2(v, w):
-        vA = v[myb][:, None] + jnp.cross(
-            jnp.broadcast_to(w[myb][:, None], rA.shape), rA
-        )
-        vB = jnp.where(
-            is_static[..., None],
-            0.0,
-            v[partner_body] + jnp.cross(w[partner_body], rB),
-        )
-        return vA - vB
+    # Per-pair partner gather indices: one (Np, K) gather per iteration,
+    # broadcast over the M manifold slots; ground slots read body 0 but are
+    # masked static (is_static covers both pair-miss and ground slots).
+    pair_body = owner[jnp.maximum(pidx, 0)]                    # (Np, K)
 
-    vn0 = jnp.sum(rel_vel2(v0, w0) * nrm, axis=-1)
-    bounce = -cfg.restitution * jnp.minimum(vn0 + 0.25, 0.0)
+    def rel_vel(v, w):
+        if single:
+            vA = v[:, None] + jnp.cross(
+                jnp.broadcast_to(w[:, None], rA.shape), rA
+            )
+        else:
+            vA = v[myb][:, None] + jnp.cross(
+                jnp.broadcast_to(w[myb][:, None], rA.shape), rA
+            )
+        vwB = jnp.concatenate([v, w], axis=1)[pair_body]       # (Np, K, 6)
+        vB_pair = vwB[..., :3]
+        wB_pair = vwB[..., 3:]
+        vB = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    vB_pair[:, :, None, :], (Np, K, M, 3)
+                ).reshape(Np, K * M, 3),
+                jnp.zeros((Np, G, 3), v.dtype),
+            ],
+            axis=1,
+        )
+        wB = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    wB_pair[:, :, None, :], (Np, K, M, 3)
+                ).reshape(Np, K * M, 3),
+                jnp.zeros((Np, G, 3), v.dtype),
+            ],
+            axis=1,
+        )
+        vB_full = jnp.where(
+            is_static[..., None], 0.0, vB + jnp.cross(wB, rB)
+        )
+        return vA - vB_full
+
+    vn0 = jnp.sum(rel_vel(v0, w0) * nrm, axis=-1)
+    bounce = -cfg.restitution * jnp.minimum(vn0 + cfg.bounce_threshold, 0.0)
     bias = (cfg.baumgarte / dt) * jnp.maximum(dep - cfg.contact_slop, 0.0)
     target = jnp.maximum(bounce, bias)
 
@@ -386,14 +540,18 @@ def physics_step(
     # side; both sides carry the slot, so totals match the scatter version).
     seg = scene.seg_start
     cnt_piece = jnp.sum(hit, axis=1, keepdims=True).astype(wverts.dtype)
-    cnt_body = _segment_sums(cnt_piece, seg)[:, 0]             # (B,)
+    if single:
+        cnt_body = cnt_piece[:, 0]
+    else:
+        cnt_body = _segment_sums(cnt_piece, seg)[:, 0]         # (B,)
     split_body = 1.0 / jnp.maximum(cnt_body, 1.0)
+    sA = (split_body[myb] if not single else split_body)[:, None, None]
 
     mu = cfg.dynamic_friction
 
     def solver_iter(carry, _):
         v, w = carry
-        vr = rel_vel2(v, w)
+        vr = rel_vel(v, w)
         vn = jnp.sum(vr * nrm, axis=-1)
         lam_n = jnp.maximum(-(vn - target) * m_eff, 0.0)
         vt = vr - vn[..., None] * nrm
@@ -403,14 +561,17 @@ def physics_step(
         imp = jnp.where(
             hit[..., None], lam_n[..., None] * nrm - lam_t[..., None] * t_dir, 0.0
         )                                                      # (Np, C, 3)
-        sA = split_body[myb][:, None, None]
-        piece_dv = jnp.sum(imp, axis=1) * iA_m * split_body[myb][:, None]
+        piece_dv = jnp.sum(imp, axis=1) * iA_m * sA[..., 0]
         dw_terms = matvec3(
             jnp.broadcast_to(iA_I, rA.shape[:2] + (3, 3)), jnp.cross(rA, imp)
         )
         piece_dw = jnp.sum(dw_terms * sA, axis=1)
-        v = v + _segment_sums(piece_dv, seg)
-        w = w + _segment_sums(piece_dw, seg)
+        if single:
+            v = v + piece_dv
+            w = w + piece_dw
+        else:
+            v = v + _segment_sums(piece_dv, seg)
+            w = w + _segment_sums(piece_dw, seg)
         return (v, w), None
 
     (v1, w1), _ = jax.lax.scan(
