@@ -110,8 +110,10 @@ def bench_physics_10k(n=10_000):
 
     # Fully shattered pile: every fragment is its own body, so the solver's
     # gather-free single-piece path applies (identical results; the segment
-    # sums are the identity there).
-    pcfg = PhysicsConfig(single_piece_bodies=True)
+    # sums are the identity there). Hull-vert padding 32 covers typical
+    # Voronoi fragments (~15 faces / ~27 verts); the default 64 doubles
+    # every narrowphase tensor for padding alone.
+    pcfg = PhysicsConfig(single_piece_bodies=True, max_hull_verts=32)
     # A settled-pile-like lattice of unit-cube fragments (dense contacts).
     side = int(round(n ** (1 / 3)))
     while side * side * side < n:

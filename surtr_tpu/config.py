@@ -45,14 +45,17 @@ class FractureConfig:
     voronoi_neighbors: int = 48  # k-nearest seeds whose bisectors clip a cell
     max_mesh_tris: int = 2048    # visual-mesh triangle capacity per compound
     max_piece_tris: int = 512    # visual-mesh triangle capacity per piece
-    max_islands: int = 1         # mesh-island splits per fragment
+    max_islands: int = 2         # distinct mesh islands DETECTED per fragment
                                  # (CheckMeshIsland, Surtr.cpp:2157-2201;
-                                 # 1 disables splitting). Opt-in: the
-                                 # coincidence labeling can split thin
-                                 # fragments whose surface patches connect
-                                 # only via unstitched cap geometry, which
-                                 # duplicates convex volume — see PARITY.md
-                                 # divergence 3.
+                                 # 1 disables splitting). On by default: the
+                                 # solid-midpoint merge test re-joins surface
+                                 # patches connected through material, so the
+                                 # round-1 volume-duplication failure mode
+                                 # (PARITY.md divergence 3) no longer applies.
+    island_pool: int = 64        # GLOBAL capacity for secondary islands per
+                                 # fracture event (islands are rare —
+                                 # per-candidate slot doubling wasted 2× the
+                                 # whole pipeline; 0 disables splitting)
     island_label_iters: int = 12 # label-propagation rounds per labeling
 
     # f32 tolerance at unit scale (reference: 1e-10 in f64, Poly.cpp:718).
@@ -86,8 +89,10 @@ class PhysicsConfig:
     max_hull_verts: int = 64       # padded collision-hull vertex count
     manifold_points: int = 4       # contact points per pair (face-face
                                    # manifolds; 1 = single support point)
-    max_edge_dirs: int = 4         # distinct edge directions per hull used
-                                   # for SAT edge-cross axes (0 disables)
+    max_edge_dirs: int = 3         # distinct edge directions per hull used
+                                   # for SAT edge-cross axes (0 disables;
+                                   # 3 covers boxes exactly, Ne² cross axes
+                                   # scale the narrowphase quadratically)
     single_piece_bodies: bool = False
                                    # static promise that every body owns
                                    # exactly one piece (fully shattered

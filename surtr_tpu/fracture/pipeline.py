@@ -34,7 +34,7 @@ from surtr_tpu.ops.clip_pallas import clip_planes_batch
 from surtr_tpu.ops.hull import ich
 from surtr_tpu.ops.kdop import kdop_planes
 from surtr_tpu.ops.labels import adjacency_components
-from surtr_tpu.ops.mesh_clip import clip_trisoup, point_in_mesh
+from surtr_tpu.ops.mesh_clip import clip_trisoup, point_in_mesh, winding_inside
 from surtr_tpu.ops.moments import moments
 from surtr_tpu.types import ConvexPoly, scale_poly, translate_poly, unit_cube
 
@@ -109,11 +109,13 @@ def cut_face_tris(poly: ConvexPoly, face_sel):
     return tris, counts
 
 
-def _append_tris(base, n_base, extra_rows, extra_counts):
-    """Append row-structured extra triangles after the first ``n_base`` base
-    triangles (single-piece layout; callers vmap). Static-size dispatch like
-    clip_trisoup: fused one-hot when small, searchsorted row packing when the
-    one-hot would materialize at OOM scale under the candidate vmap."""
+def _append_tris(base, base_mask, extra_rows, extra_counts):
+    """Place row-structured extra triangles into the FREE slots of a masked
+    triangle array (single-piece layout; callers vmap). The base mask need
+    not be front-aligned — island splitting leaves candidates with scattered
+    masks. Static-size dispatch like clip_trisoup: fused one-hot when small,
+    searchsorted row packing when the one-hot would materialize at OOM scale
+    under the candidate vmap."""
     from surtr_tpu.ops.linalg import compact, pack_rows
 
     T = base.shape[-3]
@@ -129,12 +131,16 @@ def _append_tris(base, n_base, extra_rows, extra_counts):
         packed, _ = pack_rows(extra_rows.reshape(F, Sf, 9), extra_counts, T)
     packed = packed.reshape(T, 3, 3)
     n_extra = jnp.sum(extra_counts)
-    j = jnp.arange(T, dtype=jnp.int32)
-    shifted = packed[jnp.clip(j - n_base, 0, T - 1)]
-    out = jnp.where((j < n_base)[:, None, None], base, shifted)
-    total = n_base + n_extra
-    out_mask = j < total
-    dropped = jnp.maximum(total - T, 0)
+    # k-th free slot receives the k-th packed cap triangle.
+    free = ~base_mask
+    rank = jnp.cumsum(free.astype(jnp.int32)) - free.astype(jnp.int32)
+    take = free & (rank < n_extra)
+    shifted = packed[jnp.clip(rank, 0, T - 1)]
+    out = jnp.where(take[:, None, None], shifted, base)
+    out = jnp.where(base_mask[:, None, None], base, out)
+    out_mask = base_mask | take
+    n_free = jnp.sum(free)
+    dropped = jnp.maximum(n_extra - n_free, 0)
     return out, out_mask, dropped
 
 
@@ -179,7 +185,10 @@ def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
     d2 = jnp.sum((seeds[:, None] - seeds[None]) ** 2, axis=-1)
     big = jnp.asarray(BIG, seeds.dtype)
     d2 = jnp.fill_diagonal(d2, big, inplace=False)
-    _, idx = jax.lax.top_k(-d2, k)                       # nearest first
+    # approx_max_k: the TPU-native aggregated top-k (~40% faster than exact
+    # top_k at C=1k; recall measured 1.0 on uniform seed clouds — cell
+    # volume conservation is asserted by tests either way).
+    _, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.99)  # nearest first
 
     def one(seed, nbr):
         bp, bm = bisector_planes(seed, seeds[nbr], jnp.ones((k,), bool))
@@ -199,6 +208,125 @@ def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
     d = planes_u[..., 3:4] / safe
     d = d - jnp.sum(n * center, axis=-1, keepdims=True)
     return jnp.concatenate([n, d], axis=-1), pmask
+
+
+def _split_mesh_islands(
+    conv, mtris, mmask, cplanes, cpmask, solid_t, solid_m, mas, cfg
+):
+    """CheckMeshIsland (Surtr.cpp:2157-2201) over a candidate batch.
+
+    A candidate whose clipped surface splits into disconnected components
+    becomes several pieces sharing the same convex. Runs on pre-cap surface
+    triangles; capacity cfg.max_islands per candidate, extra islands stay
+    merged with island 0.
+
+    Inputs are batched over candidates (leading axis N): conv/mtris/mmask the
+    clipped candidate geometry, cplanes/cpmask the half-spaces that produced
+    it, solid_t/solid_m the candidate's source solid.
+
+    Capacity design: detection runs on EVERY candidate (cfg.max_islands
+    labels tracked per candidate), but secondary islands land in a small
+    GLOBAL pool of cfg.island_pool extra candidates — islands are rare, so
+    per-candidate slot doubling (round-1 design) wasted 2× the whole
+    downstream pipeline. Returns
+      (mmask0, x_cand, x_mmask, x_valid):
+      * mmask0 (N, T) — candidate masks restricted to the primary island
+        (+ merged/overflow islands),
+      * x_cand (E,) i32 — source-candidate index of each pool entry,
+      * x_mmask (E, T) — the pool entry's island triangles,
+      * x_valid (E,) — pool-entry validity.
+    Callers append pool entries by gathering their own per-candidate
+    bookkeeping at x_cand.
+    """
+    from surtr_tpu.ops.clip import contains_point
+    from surtr_tpu.ops.labels import tri_soup_components
+
+    ISL = max(1, cfg.max_islands)
+    N0 = mtris.shape[0]
+
+    # Vertex-coincidence labels run over the clipped SURFACE triangles only.
+    # Surface patches of one fragment can connect purely through cut faces
+    # (the reference labels the capped polyhedron); distinct surface
+    # components are therefore MERGED when the segment between their
+    # centroids stays inside (source solid ∩ candidate convex): joined
+    # through material → one piece; across a hole (cut torus) → split.
+    # Probing the ORIGINAL closed source mesh keeps the ray-parity test
+    # robust (round 1 probed an approximate capped mesh and mis-split thin
+    # fragments, duplicating convex volume — PARITY.md divergence 3).
+    labels = jax.vmap(
+        lambda t, m: tri_soup_components(t, m, iters=cfg.island_label_iters)
+    )(mtris, mmask)                                        # (N0, T)
+    Tcap = mtris.shape[1] + 1
+    lab_valid = jnp.where(mmask, labels, Tcap)
+    picks = []
+    prev = jnp.full((N0,), -1, jnp.int32)
+    for k in range(ISL):
+        nxt = jnp.min(
+            jnp.where(lab_valid > prev[:, None], lab_valid, Tcap), axis=1
+        ).astype(jnp.int32)
+        picks.append(nxt)
+        prev = nxt
+    picks = jnp.stack(picks, axis=1)                       # (N0, ISL)
+    sub = lab_valid[:, None, :] == picks[:, :, None]       # (N0, ISL, T)
+    # Overflow islands (label beyond the last pick) merge into island 0.
+    overflow = lab_valid[:, None, :] > picks[:, -1:, None]
+    sub = sub.at[:, 0, :].set(sub[:, 0, :] | overflow[:, 0, :])
+    sub = sub & mmask[:, None, :]
+
+    # Material-segment merge test between the primary and each later island:
+    # probe 3 points along the centroid segment against the SOURCE solid and
+    # the candidate convex; any in-material probe merges the islands.
+    tri_cent = jnp.mean(mtris, axis=-2)                    # (N0, T, 3)
+    c_all = jax.vmap(
+        lambda w, tc: jnp.stack(
+            [
+                jnp.sum(jnp.where(w[k][:, None], tc, 0.0), axis=0)
+                / jnp.maximum(jnp.sum(w[k]), 1)
+                for k in range(ISL)
+            ]
+        )
+    )(sub, tri_cent)                                       # (N0, ISL, 3)
+
+    def merge_test(c0, ck, cv, st, sm_):
+        probes = jnp.stack(
+            [c0 + (ck - c0) * t for t in (0.25, 0.5, 0.75)]
+        )                                                  # (3, 3)
+        # Winding number, not ray parity: the source piece's capped mesh is
+        # only approximately watertight and parity mis-reads interior
+        # points, which split fragments and duplicated convex volume.
+        in_solid = winding_inside(probes, st, sm_)
+        in_conv = jax.vmap(lambda p: contains_point(cv, p, tol=1e-4 * mas))(
+            probes
+        )
+        return jnp.any(in_solid & in_conv)
+
+    merged = []
+    for k in range(1, ISL):
+        exists = jnp.any(sub[:, k, :], axis=-1)
+        inside_mid = jax.vmap(merge_test)(
+            c_all[:, 0], c_all[:, k], conv, solid_t, solid_m
+        )
+        merged.append(exists & inside_mid)
+    merge_k = jnp.stack(merged, axis=1)                    # (N0, ISL-1)
+    # Fold merged islands into island 0; blank their own slot.
+    absorbed = jnp.zeros_like(sub[:, 0, :])
+    for k in range(1, ISL):
+        mk = merge_k[:, k - 1][:, None]
+        absorbed = absorbed | (sub[:, k, :] & mk)
+        sub = sub.at[:, k, :].set(sub[:, k, :] & ~mk)
+    mmask0 = sub[:, 0, :] | absorbed
+
+    # Compact surviving secondary islands into the global pool (stable
+    # order: argsort of ~flag keeps first-come entries first).
+    E = cfg.island_pool
+    T = mtris.shape[1]
+    flags = jnp.any(sub[:, 1:, :], axis=-1).reshape(N0 * (ISL - 1))
+    order = jnp.argsort(~flags, stable=True)
+    take = order[:E]
+    x_valid = flags[take]
+    x_cand = (take // (ISL - 1)).astype(jnp.int32)
+    x_mmask = sub[:, 1:, :].reshape(N0 * (ISL - 1), T)[take] & x_valid[:, None]
+    return mmask0, x_cand, x_mmask, x_valid
 
 
 # ----------------------------------------------------------------------------
@@ -300,19 +428,41 @@ def prepare_fracture(
 
     mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
 
-    out = _finish_pieces(
-        conv, mtris, mmask, cell_planes, cell_pmask,
-        jnp.broadcast_to(tri_corners[None], (C,) + tri_corners.shape),
-        jnp.broadcast_to(tmask[None], (C,) + tmask.shape),
-        mas, cfg,
-    )
+    solid_t = jnp.broadcast_to(tri_corners[None], (C,) + tri_corners.shape)
+    solid_m = jnp.broadcast_to(tmask[None], (C,) + tmask.shape)
+
+    # Prepare-time island check (the reference's ApplyFracture runs
+    # CheckMeshIsland during initial decomposition too, Surtr.cpp:1810-1814):
+    # a cell of a non-convex model can clip into disjoint chunks.
+    cpl, cpm = cell_planes, cell_pmask
+    cand_ok = jnp.ones((C,), bool)
+    if cfg.max_islands > 1 and cfg.island_pool > 0:
+        mmask0, x_cand, x_mmask, x_valid = _split_mesh_islands(
+            conv, mtris, mmask, cell_planes, cell_pmask, solid_t, solid_m,
+            mas, cfg,
+        )
+        g = lambda a: a[x_cand]
+        conv = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a, a[x_cand]]), conv
+        )
+        mtris = jnp.concatenate([mtris, g(mtris)])
+        mmask = jnp.concatenate([mmask0, x_mmask])
+        cpl = jnp.concatenate([cell_planes, g(cell_planes)])
+        cpm = jnp.concatenate([cell_pmask, g(cell_pmask)])
+        solid_t = jnp.concatenate([solid_t, g(solid_t)])
+        solid_m = jnp.concatenate([solid_m, g(solid_m)])
+        cand_ok = jnp.concatenate([cand_ok, x_valid])
+
+    out = _finish_pieces(conv, mtris, mmask, cpl, cpm, solid_t, solid_m, mas, cfg)
     conv, mtris, mmask, cand_valid = out
+    cand_valid = cand_valid & cand_ok
+    N = cand_valid.shape[0]
 
     # Pack into the PieceSet pool (group 0 — one initial compound).
     vol, _ = moments(conv)
     pieces = _pack_candidates(
         conv, mtris, mmask, cand_valid,
-        jnp.zeros((C,), jnp.int32), jnp.full((C,), -1, jnp.int32),
+        jnp.zeros((N,), jnp.int32), jnp.full((N,), -1, jnp.int32),
         vol, P, Tp, F, S,
     )
 
@@ -367,9 +517,7 @@ def _finish_pieces(
     def caps_one(refit, tris, tmask_, planes_, pmask_):
         cut2 = _match_cut_faces(refit, planes_, pmask_, mas)
         cap_rows, cap_counts = cut_face_tris(refit, cut2)
-        tris2, tmask2, _ = _append_tris(
-            tris, jnp.sum(tmask_), cap_rows, cap_counts
-        )
+        tris2, tmask2, _ = _append_tris(tris, tmask_, cap_rows, cap_counts)
         return tris2, tmask2
 
     mtris2, mmask2 = jax.vmap(caps_one)(
@@ -424,18 +572,24 @@ def do_fracture(
     cfg: FractureConfig,
     partial: bool = True,
 ):
-    """Refracture one compound at an impact point. Returns (PieceSet, metrics).
+    """Refracture compounds at an impact point. Returns (PieceSet, metrics).
+
+    ``target_group`` is either a scalar group id or a (P,) boolean PIECE mask
+    selecting several compounds at once — a radial impact fractures every
+    affected body in ONE dispatch (the reference fans out per body on the
+    host, Surtr.cpp:251-253; round 1 mirrored that with a full rebuild per
+    body, ~150 ms/event).
 
     partial=True uses the 128-cell impact-local pattern and leaves
-    out-of-sphere pieces attached to the parent compound (bind[0] semantics);
-    partial=False uses the 1024-cell general pattern on every piece.
+    out-of-sphere pieces attached to their parent compound (bind[0]
+    semantics); partial=False uses the 1024-cell general pattern on every
+    piece.
     """
     F, S = cfg.max_faces, cfg.max_face_verts
     A = cfg.max_active_pieces
     P = cfg.max_pieces
     Tp = cfg.max_piece_tris
     mas = ctx.max_axis_scale
-    target_group = jnp.asarray(target_group, jnp.int32)
 
     pattern = ctx.partial_pattern if partial else ctx.general_pattern
     C = pattern.n_verts.shape[0]
@@ -444,7 +598,12 @@ def do_fracture(
     cells = translate_poly(scale_poly(pattern, 2.0 * mas), impact_pos)
     cloud = ctx.sphere_cloud * cfg.impact_radius + impact_pos
 
-    in_target = pieces.valid & (pieces.group == target_group)
+    target_group = jnp.asarray(target_group)
+    if target_group.ndim == 0:
+        target_mask = pieces.group == target_group.astype(jnp.int32)
+    else:
+        target_mask = target_group
+    in_target = pieces.valid & target_mask
     if partial:
         outside = convex_out_of_sphere(
             pieces.convex, cloud, impact_pos, cfg.impact_radius
@@ -503,110 +662,21 @@ def do_fracture(
     # --- CheckMeshIsland (Surtr.cpp:2157-2201): a candidate whose clipped
     # surface splits into disconnected components becomes several pieces
     # sharing the same convex (refit later shrinks each to its own island's
-    # mesh, Surtr.cpp:1470-1496). Runs on pre-cap surface triangles; capacity
-    # cfg.max_islands per candidate, extra islands stay merged with island 0.
-    ISL = max(1, cfg.max_islands)
-    if ISL > 1:
-        from surtr_tpu.ops.labels import tri_soup_components
-        from surtr_tpu.ops.linalg import pack_rows
-
-        # Connectivity must see the closed polyhedron, not just the clipped
-        # surface (the reference labels the capped mesh): surface patches of
-        # a convex fragment may touch only through cut faces. Caps spanning
-        # holes (true islands, e.g. a cut torus) are removed by a
-        # solid-interior filter on cap-triangle centroids.
-        CAP_CONN = 64
-
-        def conn_caps(cv, cpl, cpm, src_idx):
-            sel = _match_cut_faces(cv, cpl, cpm, mas)
-            # Face-level solid filter (one point-in-mesh per cut face). The
-            # probe sits slightly *behind* the cut plane (into the material):
-            # a centroid exactly on the approximate closed surface gives an
-            # unreliable ray parity and spurious splits duplicate convex
-            # volume. Faces over true holes stay outside either way.
-            sm = cv.slot_mask()[..., None]
-            nvv = jnp.maximum(cv.n_verts, 1)[..., None]
-            fcent = jnp.sum(jnp.where(sm, cv.face_verts, 0.0), axis=-2) / nvv
-            probe = fcent - cv.planes[..., :3] * (1e-3 * mas)
-            inside = point_in_mesh(probe, src_mesh[src_idx], src_mmask[src_idx])
-            rows, counts = cut_face_tris(cv, sel & inside)  # (F, S-2, 3, 3)
-            Ff, Sf = rows.shape[0], rows.shape[1]
-            packed, k = pack_rows(rows.reshape(Ff, Sf, 9), counts, CAP_CONN)
-            return packed.reshape(CAP_CONN, 3, 3), jnp.arange(CAP_CONN) < k
-
-        cap_t, cap_m = jax.vmap(conn_caps)(
-            conv, cells.planes[cell_of], cells.face_mask()[cell_of], src_of
+    # mesh, Surtr.cpp:1470-1496).
+    if cfg.max_islands > 1 and cfg.island_pool > 0:
+        mmask0, x_cand, x_mmask, x_valid = _split_mesh_islands(
+            conv, mtris, mmask,
+            cells.planes[cell_of], cells.face_mask()[cell_of],
+            src_mesh[src_of], src_mmask[src_of], mas, cfg,
         )
-        # Vertex-coincidence labels over the clipped SURFACE triangles only —
-        # cap geometry never shares vertices with the surface (computed from
-        # different intersections), so caps cannot be labeled; instead,
-        # distinct surface components are MERGED when the midpoint between
-        # them lies inside the candidate's (approximately closed) solid:
-        # patches joined through material stay one piece, chunks across a
-        # hole split.
-        labels = jax.vmap(
-            lambda t, m: tri_soup_components(t, m, iters=cfg.island_label_iters)
-        )(mtris, mmask)                                        # (N0, T)
-        Tcap = mtris.shape[1] + 1
-        lab_valid = jnp.where(mmask, labels, Tcap)
-        picks = []
-        prev = jnp.full((N0,), -1, jnp.int32)
-        for k in range(ISL):
-            nxt = jnp.min(
-                jnp.where(lab_valid > prev[:, None], lab_valid, Tcap), axis=1
-            ).astype(jnp.int32)
-            picks.append(nxt)
-            prev = nxt
-        picks = jnp.stack(picks, axis=1)                       # (N0, ISL)
-        sub = lab_valid[:, None, :] == picks[:, :, None]       # (N0, ISL, T)
-        # Overflow islands (label beyond the last pick) merge into island 0.
-        overflow = lab_valid[:, None, :] > picks[:, -1:, None]
-        sub = sub.at[:, 0, :].set(sub[:, 0, :] | overflow[:, 0, :])
-        sub = sub & mmask[:, None, :]
-
-        # Solid-midpoint merge test between the primary and each later island.
-        closed_t = jnp.concatenate([mtris, cap_t], axis=1)
-        closed_m = jnp.concatenate([mmask, cap_m], axis=1)
-        tri_cent = jnp.mean(mtris, axis=-2)                    # (N0, T, 3)
-        c_all = jax.vmap(
-            lambda w, tc: jnp.stack(
-                [
-                    jnp.sum(jnp.where(w[k][:, None], tc, 0.0), axis=0)
-                    / jnp.maximum(jnp.sum(w[k]), 1)
-                    for k in range(ISL)
-                ]
-            )
-        )(sub, tri_cent)                                       # (N0, ISL, 3)
-
-        def merge_test(c0, ck, t, m):
-            mid = (c0 + ck) * 0.5
-            return point_in_mesh(mid[None], t, m)[0]
-
-        merged = []
-        for k in range(1, ISL):
-            exists = jnp.any(sub[:, k, :], axis=-1)
-            inside_mid = jax.vmap(merge_test)(
-                c_all[:, 0], c_all[:, k], closed_t, closed_m
-            )
-            merged.append(exists & inside_mid)
-        if merged:
-            merge_k = jnp.stack(merged, axis=1)                # (N0, ISL-1)
-            # Fold merged islands into island 0; blank their own slot.
-            absorbed = jnp.zeros_like(sub[:, 0, :])
-            for k in range(1, ISL):
-                mk = merge_k[:, k - 1][:, None]
-                absorbed = absorbed | (sub[:, k, :] & mk)
-                sub = sub.at[:, k, :].set(sub[:, k, :] & ~mk)
-            sub = sub.at[:, 0, :].set(sub[:, 0, :] | absorbed)
-        island_of = jnp.tile(jnp.arange(ISL, dtype=jnp.int32), (N0,))
-        rep = lambda a: jnp.repeat(a, ISL, axis=0)
-        conv = jax.tree_util.tree_map(rep, conv)
-        mtris = rep(mtris)
-        mmask = sub.reshape(N0 * ISL, mtris.shape[1])
-        cell_of, src_of, src_valid = rep(cell_of), rep(src_of), rep(src_valid)
-        # Non-primary islands exist only if they actually own triangles.
-        has_tris = jnp.any(mmask, axis=1)
-        src_valid = src_valid & ((island_of == 0) | has_tris)
+        conv = jax.tree_util.tree_map(
+            lambda a: jnp.concatenate([a, a[x_cand]]), conv
+        )
+        mtris = jnp.concatenate([mtris, mtris[x_cand]])
+        mmask = jnp.concatenate([mmask0, x_mmask])
+        cell_of = jnp.concatenate([cell_of, cell_of[x_cand]])
+        src_of = jnp.concatenate([src_of, src_of[x_cand]])
+        src_valid = jnp.concatenate([src_valid, src_valid[x_cand] & x_valid])
     N = conv.n_verts.shape[0]
     cplanes_flat = cells.planes[cell_of]
     cpmask_flat = cells.face_mask()[cell_of]
@@ -628,10 +698,14 @@ def do_fracture(
         cand_out = jnp.zeros((N,), bool)
 
     # Provisional groups: parent group for merged candidates, else a fresh
-    # id per cell (bind-per-cell, Surtr.cpp:2139-2145).
+    # id per (parent compound, cell) (bind-per-cell, Surtr.cpp:2139-2145;
+    # the parent axis keeps simultaneous multi-body fractures from gluing
+    # fragments of different bodies into one compound).
     gmax = jnp.max(jnp.where(pieces.valid, pieces.group, 0))
+    src_groups = pieces.group[sel]                             # (A,)
+    parent_of = src_groups[src_of]                             # (N,)
     cand_group = jnp.where(
-        cand_out, target_group, gmax + 1 + cell_of
+        cand_out, parent_of, gmax + 1 + parent_of * C + cell_of
     ).astype(jnp.int32)
 
     # --- merge candidate pool with surviving original pieces, compact to P.

@@ -47,18 +47,23 @@ def tri_soup_components(
     idx_e = jnp.arange(E, dtype=jnp.int32)
 
     q = jnp.round(pts / tol).astype(jnp.int32)
-    h = (
-        q[:, 0] * jnp.int32(73856093)
-        ^ q[:, 1] * jnp.int32(19349663)
-        ^ q[:, 2] * jnp.int32(83492791)
-    )
-    # Invalid corners get unique keys so they never union with anything.
-    key = jnp.where(cm, h, jnp.int32(0x40000000) + idx_e)
-    order = jnp.argsort(key)                          # sorted → original
+    # Invalid corners get unique triples so they never union with anything.
+    # Exact lexicographic grouping — a multiply-XOR spatial hash collides
+    # systematically on symmetric meshes (measured 128 unique points → 100
+    # unique hashes on a torus), silently gluing distant islands.
+    q0 = jnp.where(cm, q[:, 0], jnp.int32(1 << 24) + idx_e)
+    q1 = jnp.where(cm, q[:, 1], 0)
+    q2 = jnp.where(cm, q[:, 2], 0)
+    order = jnp.lexsort((q2, q1, q0))                 # sorted → original
     inv = jnp.argsort(order)                          # original → rank
-    ks = key[order]
+    qs0, qs1, qs2 = q0[order], q1[order], q2[order]
     run_start = jnp.concatenate(
-        [jnp.ones((1,), bool), ks[1:] != ks[:-1]]
+        [
+            jnp.ones((1,), bool),
+            (qs0[1:] != qs0[:-1])
+            | (qs1[1:] != qs1[:-1])
+            | (qs2[1:] != qs2[:-1]),
+        ]
     )
     rid = jnp.cumsum(run_start.astype(jnp.int32))     # run id per rank
 

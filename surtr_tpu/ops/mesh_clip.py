@@ -155,6 +155,38 @@ def point_in_mesh(points: jax.Array, corners: jax.Array, tri_valid: jax.Array):
     return (jnp.sum(hit, axis=1) % 2) == 1
 
 
+def winding_inside(
+    points: jax.Array, corners: jax.Array, tri_valid: jax.Array,
+    threshold: float = 0.5,
+):
+    """Generalized winding-number solid test (Van Oosterom–Strackee).
+
+    points: (P, 3); corners: (T, 3, 3). Returns (P,) bool. Robust where ray
+    parity is not: the fracture pipeline's capped piece meshes are only
+    approximately watertight (cap overshoot, T-junctions), which flips ray
+    parity; the winding number degrades gracefully (≈1 inside, ≈0 outside,
+    ≈0.5 on the wall) so a 0.5 threshold stays reliable.
+    """
+    a = corners[None, :, 0] - points[:, None]                # (P, T, 3)
+    b = corners[None, :, 1] - points[:, None]
+    c = corners[None, :, 2] - points[:, None]
+    la = jnp.linalg.norm(a, axis=-1)
+    lb = jnp.linalg.norm(b, axis=-1)
+    lc = jnp.linalg.norm(c, axis=-1)
+    det = jnp.sum(a * jnp.cross(b, c), axis=-1)
+    den = (
+        la * lb * lc
+        + jnp.sum(a * b, -1) * lc
+        + jnp.sum(b * c, -1) * la
+        + jnp.sum(c * a, -1) * lb
+    )
+    omega = 2.0 * jnp.arctan2(det, den)                      # (P, T)
+    total = jnp.sum(jnp.where(tri_valid[None], omega, 0.0), axis=-1)
+    # Winding sign depends on triangle orientation; the pipeline's meshes are
+    # outward-CCW but clipped caps may flip — compare |w| against threshold.
+    return jnp.abs(total) > threshold * 4.0 * jnp.pi
+
+
 def unique_corner_verts(corners: jax.Array, tri_valid: jax.Array):
     """Flattened (possibly duplicated) corner pool: ((3T, 3), (3T,) mask).
     Duplicates are harmless for supports / hull seeding."""

@@ -262,6 +262,8 @@ class Scene:
         """Fracture the given bodies at an impact position."""
         fcfg = self.cfg.fracture
         partial = fcfg.partial_fracture if partial is None else partial
+        if not len(target_bodies):
+            return {}
         impact = jnp.asarray(impact, jnp.float32)
 
         # Bake current transforms, tag pieces with their current body id.
@@ -275,21 +277,18 @@ class Scene:
             tag=jnp.where(baked.valid, baked.group, -1),
         )
         old_phys = self.phys
-        metrics = []
-        pieces = baked
-        for body in target_bodies:
-            # Locate the current group holding this (tagged) body's pieces.
-            tags = np.asarray(pieces.tag)
-            groups = np.asarray(pieces.group)
-            valid = np.asarray(pieces.valid)
-            match = valid & (tags == body)
-            if not match.any():
-                continue
-            target_group = int(groups[match][0])
-            pieces, met = do_fracture(
-                pieces, self.ctx, impact, target_group, fcfg, partial=partial
-            )
-            metrics.append({k: np.asarray(v) for k, v in met.items()})
+        # All affected bodies fracture in ONE dispatch: target mask over
+        # pieces (tags carry the pre-fracture body ids).
+        tb = jnp.asarray(
+            np.asarray(target_bodies, np.int32).reshape(-1), jnp.int32
+        )
+        target_mask = baked.valid & jnp.any(
+            baked.tag[:, None] == tb[None, :], axis=1
+        )
+        pieces, met = do_fracture(
+            baked, self.ctx, impact, target_mask, fcfg, partial=partial
+        )
+        metrics = [{k: np.asarray(v) for k, v in met.items()}]
         self.pieces = pieces
         self._rebuild(old_phys=old_phys)
         self.events.append({"impact": np.asarray(impact), "targets": target_bodies})

@@ -106,3 +106,86 @@ def test_islands_disabled_keeps_single_piece():
         vols, _ = moments(out.convex)
         total = float(jnp.where(out.valid, vols, 0).sum())
         assert np.isclose(total, 8.0, rtol=2e-3), (isl, total)
+
+
+def test_torus_through_cut_two_compounds():
+    """VERDICT r1 item 5 e2e: a slab cell through a torus captures two
+    disjoint tube arcs → two pieces in two different compounds, and the
+    survivors' mesh centroids sit on opposite sides of the ring."""
+    from surtr_tpu.io.models import _torus
+
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=4,
+        max_pieces=32,
+        max_piece_tris=320,
+        max_active_pieces=2,
+        partial_pattern_cell_cnt=2,
+        general_pattern_cell_cnt=2,
+        voronoi_neighbors=3,
+        max_islands=2,
+        partial_fracture=False,
+    )
+    F, S, T = cfg.max_faces, cfg.max_face_verts, cfg.max_piece_tris
+
+    v, f = _torus(R=1.2, r=0.4, nu=16, nv=8)
+    tris = v[f]
+    mesh = np.zeros((T, 3, 3), np.float32)
+    mesh[: len(tris)] = tris
+    mmask = np.zeros(T, bool)
+    mmask[: len(tris)] = True
+
+    big = scale_poly(unit_cube(F=F, S=S), jnp.array([3.6, 1.2, 3.6]))
+    P = cfg.max_pieces
+    pieces = PieceSet(
+        convex=jax.tree_util.tree_map(
+            lambda a: jnp.concatenate(
+                [a[None], jnp.zeros((P - 1,) + a.shape, a.dtype)]
+            ),
+            big,
+        ),
+        mesh=jnp.asarray(
+            np.concatenate([mesh[None], np.zeros((P - 1, T, 3, 3), np.float32)])
+        ),
+        mesh_valid=jnp.asarray(
+            np.concatenate([mmask[None], np.zeros((P - 1, T), bool)])
+        ),
+        valid=jnp.zeros((P,), bool).at[0].set(True),
+        group=jnp.full((P,), -1, jnp.int32).at[0].set(0),
+        tag=jnp.full((P,), -1, jnp.int32),
+    )
+    # 3 seeds along x; scaled ×2·mas(=4) the bisectors sit at x = ±0.6:
+    # the middle slab crosses the ring twice (arcs near z ≈ ±1.1).
+    seeds = jnp.asarray([[-0.3, 0, 0], [0.0, 0, 0], [0.3, 0, 0]], jnp.float32)
+    pat = pattern_cells(seeds, k=None, F=F, S=S)
+    ctx = FractureContext(
+        bb_center=jnp.zeros(3),
+        bb_min=jnp.array([-1.8, -0.6, -1.8]),
+        bb_max=jnp.array([1.8, 0.6, 1.8]),
+        max_axis_scale=jnp.asarray(2.0),
+        partial_pattern=pat,
+        general_pattern=pat,
+        sphere_cloud=jnp.asarray(sphere_point_cloud()),
+    )
+    out, met = do_fracture(pieces, ctx, jnp.zeros(3), 0, cfg, partial=False)
+    valid = np.asarray(out.valid)
+    groups = np.asarray(out.group)[valid]
+    meshes = np.asarray(out.mesh_valid)[valid]
+    mesh_all = np.asarray(out.mesh)[valid]
+    # Mid-slab pieces: mesh centroid near x=0; they must split by z sign and
+    # land in different groups.
+    mid_groups_pos, mid_groups_neg = set(), set()
+    for i in range(int(valid.sum())):
+        tri = mesh_all[i][meshes[i]]
+        if not len(tri):
+            continue
+        c = tri.reshape(-1, 3).mean(0)
+        if abs(c[0]) < 0.45:
+            (mid_groups_pos if c[2] > 0 else mid_groups_neg).add(
+                int(groups[i])
+            )
+    assert mid_groups_pos and mid_groups_neg
+    assert mid_groups_pos.isdisjoint(mid_groups_neg), (
+        mid_groups_pos, mid_groups_neg,
+    )
+    # At least 4 compounds in total (two side cells + two mid arcs).
+    assert len(set(groups.tolist())) >= 4

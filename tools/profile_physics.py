@@ -45,7 +45,7 @@ def make_scene(n=10_000):
     from surtr_tpu.physics.scene import build_scene
     from surtr_tpu.types import ConvexPoly, unit_cube
 
-    pcfg = PhysicsConfig(single_piece_bodies=True)
+    pcfg = PhysicsConfig(single_piece_bodies=True, max_hull_verts=32)
     side = int(round(n ** (1 / 3)))
     while side * side * side < n:
         side += 1
