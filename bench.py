@@ -161,6 +161,43 @@ def bench_physics_10k(n=10_000):
     return ms
 
 
+def bench_batch64_1k(M=64):
+    """Config 2 proper: 1k-seed decomposition across 64 meshes in parallel
+    (single chip, lax.map over the mesh batch; the dispatch amortizes over
+    the batch, so one timed call is the steady-state number)."""
+    from surtr_tpu.config import FractureConfig
+    from surtr_tpu.fracture.batch import batch_decompose
+    from surtr_tpu.io.models import get_model, sphere_point_cloud
+
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=1024,
+        max_pieces=1024,
+        max_faces=32,
+        max_face_verts=16,
+        max_piece_tris=64,
+        voronoi_neighbors=48,
+        partial_pattern_cell_cnt=8,
+        general_pattern_cell_cnt=8,
+    )
+    v, f = get_model("cube")
+    verts = jnp.broadcast_to(jnp.asarray(v)[None], (M,) + v.shape)
+    vmask = jnp.ones((M, len(v)), bool)
+    corners = jnp.broadcast_to(jnp.asarray(v[f])[None], (M,) + v[f].shape)
+    tmask = jnp.ones((M, len(f)), bool)
+    cloud = jnp.asarray(sphere_point_cloud())
+    keys = jax.random.split(jax.random.PRNGKey(7), M)
+
+    @jax.jit
+    def run(keys):
+        pieces, met = batch_decompose(
+            verts, vmask, corners, tmask, cloud, keys, cfg
+        )
+        return jnp.sum(pieces.valid)
+
+    ms = timeit(run, keys, warmup=1, iters=3)
+    return ms, ms / M
+
+
 def bench_cube32():
     """Config 0: cube, 32 seeds, single impact event (end-to-end)."""
     from surtr_tpu.config import FractureConfig
@@ -228,6 +265,11 @@ def main():
     log(f"[bench] physics_10k={phys_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     cube_ms = bench_cube32()
     log(f"[bench] cube32={cube_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
+    b64_ms, b64_per = bench_batch64_1k()
+    log(
+        f"[bench] batch64_1k={b64_ms:.1f} ms total, {b64_per:.2f} ms/mesh "
+        f"({time.time()-t0:.0f}s elapsed)"
+    )
     render_ms = bench_render()
     log(f"[bench] render={render_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     total = decomp_ms + phys_ms
@@ -239,6 +281,8 @@ def main():
         "decomposition_1k_ms": round(decomp_ms, 3),
         "physics_10k_ms": round(phys_ms, 3),
         "cube32_impact_ms": round(cube_ms, 3),
+        "batch64_1k_total_ms": round(b64_ms, 3),
+        "batch64_1k_per_mesh_ms": round(b64_per, 3),
         "render_512_ms": round(render_ms, 3),
         "decomp_pieces": n_pieces,
         "backend": backend,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 def tri_soup_components(
     corners: jax.Array,
     tri_valid: jax.Array,
-    iters: int = 12,
+    iters: int | None = None,
     tol: float = 1e-5,
 ):
     """Component label per triangle; triangles sharing a (near-)identical
@@ -31,81 +31,38 @@ def tri_soup_components(
     corners: (T, 3, 3); returns (T,) i32 labels (min triangle index of the
     component; invalid triangles get T).
 
-    Sorted-run unioning: corners are hashed on a tol-resolution grid and
-    sorted by hash once; each label round floods the min label through every
-    equal-key run with log-step segmented minima. O(T log T) instead of the
-    round-1 (3T)² coincidence matrix, which OOM'd under the fracture
-    candidate vmap and kept islands off by default (VERDICT r1 item 5).
-    Clip products share corners bitwise (sign-symmetric intersections,
-    ops/clip.py), so grid quantization only risks a conservative SPLIT at
-    cell boundaries — the pipeline's solid-midpoint merge repairs those.
+    MXU design: one corner-coincidence pass (exact equality of
+    tol-quantized coordinate triples — a multiply-XOR spatial hash collides
+    systematically on symmetric meshes and sorted-run unioning costs a
+    ~50 ms batched sort at fracture scale) reduces to a (T, T) triangle
+    adjacency, whose transitive closure is ceil(log2(T)) boolean matrix
+    squarings in bf16 on the MXU (0/1 values are exact in bf16; counts
+    accumulate in f32). ``iters``: optional cap on the squaring count —
+    2^iters bounds the component diameter in triangle hops.
     """
     T = corners.shape[0]
-    E = 3 * T
-    pts = corners.reshape(E, 3)
-    cm = jnp.repeat(tri_valid, 3)
-    idx_e = jnp.arange(E, dtype=jnp.int32)
-
-    q = jnp.round(pts / tol).astype(jnp.int32)
-    # Invalid corners get unique triples so they never union with anything.
-    # Exact lexicographic grouping — a multiply-XOR spatial hash collides
-    # systematically on symmetric meshes (measured 128 unique points → 100
-    # unique hashes on a torus), silently gluing distant islands.
-    q0 = jnp.where(cm, q[:, 0], jnp.int32(1 << 24) + idx_e)
-    q1 = jnp.where(cm, q[:, 1], 0)
-    q2 = jnp.where(cm, q[:, 2], 0)
-    order = jnp.lexsort((q2, q1, q0))                 # sorted → original
-    inv = jnp.argsort(order)                          # original → rank
-    qs0, qs1, qs2 = q0[order], q1[order], q2[order]
-    run_start = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (qs0[1:] != qs0[:-1])
-            | (qs1[1:] != qs1[:-1])
-            | (qs2[1:] != qs2[:-1]),
-        ]
-    )
-    rid = jnp.cumsum(run_start.astype(jnp.int32))     # run id per rank
-
-    big = jnp.asarray(T, jnp.int32)
-    label = jnp.where(tri_valid, jnp.arange(T, dtype=jnp.int32), T)
-
-    def run_min(cl):
-        """Min within each equal-key run (log-step, both directions)."""
-        m = cl
-        d = 1
-        while d < E:
-            frm = jnp.concatenate([jnp.full((d,), big), m[:-d]])
-            same = jnp.concatenate(
-                [jnp.zeros((d,), bool), rid[d:] == rid[:-d]]
+    q = jnp.round(corners / tol).astype(jnp.int32)       # (T, 3, 3)
+    # Triangle adjacency via 9 fused corner-pair equality tests — an
+    # explicit (3T, 3T) coincidence matrix materializes ~40 MB per fracture
+    # event and dominated the labeling cost.
+    adj = jnp.zeros((T, T), bool)
+    for a in range(3):
+        for b in range(3):
+            adj = adj | jnp.all(
+                q[:, None, a, :] == q[None, :, b, :], axis=-1
             )
-            m = jnp.minimum(m, jnp.where(same, frm, big))
-            d *= 2
-        d = 1
-        while d < E:
-            frm = jnp.concatenate([m[d:], jnp.full((d,), big)])
-            same = jnp.concatenate(
-                [rid[:-d] == rid[d:], jnp.zeros((d,), bool)]
-            )
-            m = jnp.minimum(m, jnp.where(same, frm, big))
-            d *= 2
-        return m
-
-    def step(label, _):
-        cl = jnp.repeat(label, 3)[order]              # (E,) sorted domain
-        flooded = run_min(cl)[inv]                    # back to original
-        new = jnp.minimum(
-            jnp.repeat(label, 3), flooded
-        ).reshape(T, 3).min(axis=1)
-        new = jnp.where(tri_valid, new, T)
-        # Pointer jumping: label ← label[label].
-        new = jnp.minimum(
-            new, jnp.concatenate([new, jnp.array([T], jnp.int32)])[new]
-        )
-        return new, None
-
-    label, _ = jax.lax.scan(step, label, None, length=iters)
-    return label
+    r = (adj | jnp.eye(T, dtype=bool)) & tri_valid[:, None] & tri_valid[None]
+    steps = max(1, (T - 1).bit_length())
+    if iters is not None:
+        steps = min(steps, iters)
+    rb = r.astype(jnp.bfloat16)
+    for _ in range(steps):
+        acc = jnp.dot(rb, rb, preferred_element_type=jnp.float32)
+        rb = (acc > 0.5).astype(jnp.bfloat16)
+    reach = rb > 0.5
+    idx = jnp.arange(T, dtype=jnp.int32)
+    label = jnp.min(jnp.where(reach, idx[None, :], T), axis=1)
+    return jnp.where(tri_valid, label, T)
 
 
 @functools.partial(jax.jit, static_argnames=())
