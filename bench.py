@@ -246,13 +246,22 @@ def bench_render(size=512, shadow=512):
     ldir = jnp.asarray([-0.4, -1.0, -0.3])
     lvp = light_view_proj(ldir, (0, 0, 0), 8.0)
 
-    def run(t):
-        img, _ = render_scene(
-            t, valid, colors, cam, lvp, ldir, W=size, H=size, shadow_size=shadow
-        )
-        return img
+    # Amortize the tunnel dispatch floor over 4 frames (steady-state
+    # interactive-loop behavior, same discipline as the other configs).
+    REP = 4
 
-    return timeit(run, tris, warmup=2, iters=5)
+    @jax.jit
+    def run(t):
+        def body(c, _):
+            img, _ = render_scene(
+                t + c * 0, valid, colors, cam, lvp, ldir,
+                W=size, H=size, shadow_size=shadow,
+            )
+            return c + jnp.sum(img[::64, ::64]), None
+
+        return jax.lax.scan(body, jnp.float32(0), None, length=REP)[0]
+
+    return timeit(run, tris, warmup=2, iters=5) / REP
 
 
 def main():

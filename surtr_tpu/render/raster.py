@@ -42,6 +42,92 @@ def _screen(clip: jax.Array, W: int, H: int):
     return x, y, ndc[..., 2], 1.0 / ws[..., 0]
 
 
+W_EPS = 1e-4
+
+
+def _near_clip_full(clip: jax.Array, valid: jax.Array, aux: jax.Array):
+    """Clip triangles against the near plane w > W_EPS in clip space.
+
+    A triangle with 1-2 vertices behind the eye is cut into 1-2 smaller
+    triangles instead of being culled whole (the round-1 rasterizer dropped
+    such triangles, which forced the ground plane to be tessellated into
+    hundreds of small quads — scene.py's old workaround).
+
+    ``aux`` carries extra per-vertex attributes (e.g. world positions)
+    lerped with the same parameter — valid because the projective map is
+    linear in homogeneous coordinates.
+
+    clip: (T, 3, 4); valid: (T,); aux: (T, 3, D).
+    Returns ((2T, 3, 4), (2T, 3, D), (2T,) valid).
+    """
+    w = clip[..., 3]                                      # (T, 3)
+    inside = w > W_EPS
+    n_in = jnp.sum(inside.astype(jnp.int32), axis=-1)
+
+    v = jnp.concatenate([clip, aux], axis=-1)             # (T, 3, 4+D)
+    r0 = v
+    r1 = v[:, jnp.array([1, 2, 0])]
+    r2 = v[:, jnp.array([2, 0, 1])]
+    i0, i1, i2 = inside[:, 0], inside[:, 1], inside[:, 2]
+    ins = [
+        (i0, i1, i2),
+        (i1, i2, i0),
+        (i2, i0, i1),
+    ]
+    # Canonical rotation: 1-in → inside vertex at slot 0;
+    #                     2-in → outside vertex at slot 2.
+    want1 = [a & ~b & ~c for (a, b, c) in ins]
+    want2 = [a & b & ~c for (a, b, c) in ins]
+    sel1 = jnp.where(want1[0], 0, jnp.where(want1[1], 1, 2))
+    sel2 = jnp.where(want2[0], 0, jnp.where(want2[1], 1, 2))
+    sel = jnp.where(n_in == 1, sel1, sel2)
+    rot = jnp.where(
+        (sel == 0)[:, None, None], r0,
+        jnp.where((sel == 1)[:, None, None], r1, r2),
+    )                                                     # (T, 3, 4+D)
+    A, B, C = rot[:, 0], rot[:, 1], rot[:, 2]
+
+    def lerp_w(P, Q):
+        t = (P[:, 3] - W_EPS) / jnp.where(
+            jnp.abs(P[:, 3] - Q[:, 3]) > 1e-12, P[:, 3] - Q[:, 3], 1.0
+        )
+        t = jnp.clip(t, 0.0, 1.0)[:, None]
+        return P + t * (Q - P)
+
+    # 1-in (A in; B, C out): (A, AB, AC).
+    one_t1 = jnp.stack([A, lerp_w(A, B), lerp_w(A, C)], axis=1)
+    # 2-in (A, B in; C out): (A, B, BC) + (A, BC, CA).
+    bc = lerp_w(B, C)
+    ca = lerp_w(A, C)
+    two_t1 = jnp.stack([A, B, bc], axis=1)
+    two_t2 = jnp.stack([A, bc, ca], axis=1)
+
+    t1 = jnp.where(
+        (n_in == 3)[:, None, None], v,
+        jnp.where((n_in == 1)[:, None, None], one_t1, two_t1),
+    )
+    v1 = valid & (n_in >= 1)
+    t2 = two_t2
+    v2 = valid & (n_in == 2)
+    out = jnp.concatenate([t1, t2])
+    return out[..., :4], out[..., 4:], jnp.concatenate([v1, v2])
+
+
+def near_clip(clip: jax.Array, valid: jax.Array):
+    """Near-plane clip, clip-space only. Returns ((2T, 3, 4), (2T,))."""
+    c2, _, v2 = _near_clip_full(
+        clip, valid, jnp.zeros(clip.shape[:-1] + (0,), clip.dtype)
+    )
+    return c2, v2
+
+
+def _use_pallas_default() -> bool:
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) in ("tpu", "axon")
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(
     jax.jit, static_argnames=("W", "H", "tile_rows", "tri_block", "use_pallas")
 )
@@ -55,16 +141,32 @@ def rasterize_ids(
     tri_block: int = 512,
     use_pallas: bool | None = None,
 ):
-    """Z-buffer rasterization. Returns (depth (H, W), tri_id (H, W) i32;
+    """Z-buffer rasterization with near-plane clipping. Returns
+    (depth (H, W), tri_id (H, W) i32 in the CALLER's triangle order;
     -1 = background)."""
     T = tris_world.shape[0]
     clip = _project(tris_world, mvp)
-    sx, sy, sz, inv_w = _screen(clip, W, H)            # (T, 3) each
-    # Cull triangles behind the camera (any w <= 0) or invalid.
-    ok = valid & jnp.all(clip[..., 3] > 1e-6, axis=-1)
+    clip2, ok2 = near_clip(clip, valid)
+    sx, sy, sz, inv_w = _screen(clip2, W, H)           # (2T, 3) each
+    depth, tid = raster_screen(
+        sx, sy, sz, ok2, W, H,
+        tile_rows=tile_rows, tri_block=tri_block, use_pallas=use_pallas,
+    )
+    tid = jnp.where(tid >= 0, tid % T, -1)
+    return depth, tid
 
+
+@functools.partial(
+    jax.jit, static_argnames=("W", "H", "tile_rows", "tri_block", "use_pallas")
+)
+def raster_screen(
+    sx, sy, sz, ok, W: int, H: int,
+    tile_rows: int = 32, tri_block: int = 512, use_pallas: bool | None = None,
+):
+    """Core z-buffer sweep over screen-space triangles (already clipped)."""
+    T = sx.shape[0]
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = _use_pallas_default()
     if use_pallas and W % 128 == 0 and H % 32 == 0:
         from surtr_tpu.render.raster_pallas import rasterize_ids_pallas
 
@@ -159,23 +261,50 @@ def render_scene(
     Returns (image (H, W, 3) f32 in [0,1], depth (H, W))."""
     ambient = 0.08 if cfg is None else cfg.ambient
     bias = 2e-3 if cfg is None else cfg.depth_bias
+    T = tris_world.shape[0]
 
-    # Pass 1: shadow depth.
+    # Pass 1: shadow depth (directional light, ortho: w ≡ 1, no clipping).
     sdepth, _ = rasterize_ids(
         tris_world, valid, light_vp, shadow_size, shadow_size
     )
-    # Pass 2: camera depth + ids.
-    depth, tid = rasterize_ids(tris_world, valid, cam_vp, W, H)
-    hit = tid >= 0
-    t = jnp.clip(tid, 0, tris_world.shape[0] - 1)
-
-    # Recover per-pixel world position via screen barycentrics.
-    tri = tris_world[t]                                 # (H, W, 3, 3)
+    # Pass 2: camera depth + ids, in the near-clipped 2T domain so partial
+    # triangles shade correctly (the clipped sub-triangle's own vertices
+    # interpolate; clip-space lerp parameters transfer to world space
+    # exactly — the projective map is linear in homogeneous coordinates).
     clip = _project(tris_world, cam_vp)
-    sx, sy, sz, inv_w = _screen(clip, W, H)
-    ax, ay = sx[t][..., 0], sy[t][..., 0]
-    bx, by = sx[t][..., 1], sy[t][..., 1]
-    cx, cy = sx[t][..., 2], sy[t][..., 2]
+    clip2, world2, ok2 = _near_clip_full(clip, valid, tris_world)
+    sx, sy, sz, inv_w = _screen(clip2, W, H)            # (2T, 3)
+    depth, tid2 = raster_screen(sx, sy, sz, ok2, W, H)
+    hit = tid2 >= 0
+    t2 = jnp.clip(tid2, 0, 2 * T - 1)
+    torig = t2 % T
+
+    # Per-tri attributes in the 2T domain, fetched with ONE packed gather
+    # (separate row gathers cost ~ms each on this backend).
+    n_t = jnp.cross(
+        tris_world[:, 1] - tris_world[:, 0],
+        tris_world[:, 2] - tris_world[:, 0],
+    )
+    n_t = n_t / jnp.maximum(
+        jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
+    )
+    attrs = jnp.concatenate(
+        [
+            world2.reshape(2 * T, 9),
+            sx, sy, inv_w,
+            jnp.tile(n_t, (2, 1)),
+            jnp.tile(colors, (2, 1)),
+        ],
+        axis=1,
+    )                                                   # (2T, 24)
+    pa = attrs[t2]                                      # (H, W, 24)
+    tri = pa[..., 0:9].reshape(pa.shape[:-1] + (3, 3))
+    ax, bx, cx = pa[..., 9], pa[..., 10], pa[..., 11]
+    ay, by, cy = pa[..., 12], pa[..., 13], pa[..., 14]
+    iw = pa[..., 15:18]
+    n = pa[..., 18:21]
+    base = pa[..., 21:24]
+
     px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
     area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
@@ -183,8 +312,6 @@ def render_scene(
     w0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area
     w1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * inv_area
     w2 = 1.0 - w0 - w1
-    # Perspective-correct world position.
-    iw = inv_w[t]                                       # (H, W, 3)
     denom = w0 * iw[..., 0] + w1 * iw[..., 1] + w2 * iw[..., 2]
     denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
     wpos = (
@@ -193,17 +320,14 @@ def render_scene(
         + tri[..., 2, :] * (w2 * iw[..., 2])[..., None]
     ) / denom[..., None]
 
-    # Flat face normal.
-    n = jnp.cross(
-        tri[..., 1, :] - tri[..., 0, :], tri[..., 2, :] - tri[..., 0, :]
-    )
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     ldir = -jnp.asarray(light_dir, jnp.float32)
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)
     diffuse = jnp.maximum(jnp.sum(n * ldir, axis=-1), 0.0)
 
     # Shadow factor: 3×3 PCF (9-tap, Shader.hlsli:97-126). Normal-offset +
-    # slope-scaled bias suppresses acne on grazing faces.
+    # slope-scaled bias suppresses acne on grazing faces. The 9 taps come
+    # from ONE gather of a pre-shifted (Hs·Ws, 9) shadow stack — 9 separate
+    # dynamic gathers cost ~ms each here.
     slope = 1.0 / jnp.maximum(
         jnp.abs(jnp.sum(n * ldir, axis=-1)), 0.15
     )
@@ -212,16 +336,22 @@ def render_scene(
     lx = (lclip[..., 0] + 1.0) * 0.5 * shadow_size
     ly = (1.0 - lclip[..., 1]) * 0.5 * shadow_size
     lz = lclip[..., 2]
-    taps = []
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            ix = jnp.clip(lx.astype(jnp.int32) + dx, 0, shadow_size - 1)
-            iy = jnp.clip(ly.astype(jnp.int32) + dy, 0, shadow_size - 1)
-            sd = sdepth[iy, ix]
-            taps.append((lz - bias * slope <= sd).astype(jnp.float32))
-    shadow = sum(taps) / 9.0
-
-    base = colors[t]
+    sp = jnp.pad(sdepth, 1, mode="edge")                # (Hs+2, Ws+2)
+    stack = jnp.stack(
+        [
+            sp[1 + dy : 1 + dy + shadow_size, 1 + dx : 1 + dx + shadow_size]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ],
+        axis=-1,
+    ).reshape(shadow_size * shadow_size, 9)
+    ix = jnp.clip(lx.astype(jnp.int32), 0, shadow_size - 1)
+    iy = jnp.clip(ly.astype(jnp.int32), 0, shadow_size - 1)
+    sd9 = stack[iy * shadow_size + ix]                  # (H, W, 9)
+    shadow = jnp.mean(
+        (lz[..., None] - bias * slope[..., None] <= sd9).astype(jnp.float32),
+        axis=-1,
+    )
     lit = base * (ambient + diffuse * shadow)[..., None]
     if wireframe:
         # Edge overlay from screen barycentrics (the analogue of the

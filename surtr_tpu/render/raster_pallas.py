@@ -5,6 +5,13 @@ tri-block) edge-function buffer round-trips HBM, ~350 GB per 512² frame.
 This kernel keeps the tile's z-buffer and the triangle chunk in VMEM for the
 whole triangle loop — the classic tile rasterizer mapped onto the TPU.
 
+Binning: triangles are sorted by the tile of their bbox center (outside the
+kernel, one argsort) so each 128-triangle chunk is spatially coherent; the
+kernel skips a chunk when its precomputed bbox misses the tile (lax.cond on
+four scalar compares). On fragment scenes most tiles touch a handful of
+chunks, which turns the all-pairs (tiles × triangles) sweep into near
+output-proportional work.
+
 Layout: triangle chunks live on the sublane axis, tile pixels on the lane
 axis — all intermediates are (CHUNK, PX) with PX a multiple of 128, which is
 the shape Mosaic vectorizes natively (reshapes between (TH, TW) and flat
@@ -30,6 +37,7 @@ BIG = 3.4e38
 def _raster_tile_kernel(
     ax_ref, ay_ref, bx_ref, by_ref, cx_ref, cy_ref,
     za_ref, zb_ref, zc_ref, ok_ref,
+    bx0_ref, bx1_ref, by0_ref, by1_ref,
     depth_ref, tid_ref,
     *, TH: int, TW: int, CHUNK: int, T_pad: int, ntx: int,
 ):
@@ -40,37 +48,55 @@ def _raster_tile_kernel(
     k = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
     py = (k // TW + ti * TH).astype(jnp.float32) + 0.5       # (1, PX)
     px = (k % TW + tj * TW).astype(jnp.float32) + 0.5
+    tile_x0 = (tj * TW).astype(jnp.float32)
+    tile_x1 = tile_x0 + TW
+    tile_y0 = (ti * TH).astype(jnp.float32)
+    tile_y1 = tile_y0 + TH
 
     nblk = T_pad // CHUNK
 
     def body(b, carry):
-        depth, tid = carry
-        sl = lambda r: r[pl.ds(b * CHUNK, CHUNK), :]          # (CHUNK, 1)
-        ax, ay = sl(ax_ref), sl(ay_ref)
-        bx, by = sl(bx_ref), sl(by_ref)
-        cx, cy = sl(cx_ref), sl(cy_ref)
-        za, zb, zc = sl(za_ref), sl(zb_ref), sl(zc_ref)
-        okb = sl(ok_ref) > 0.5
-        area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
-        inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
-        e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)    # (CHUNK, PX)
-        e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
-        e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
-        w0 = e0 * inv_area
-        w1 = e1 * inv_area
-        w2 = e2 * inv_area
-        cov = (
-            (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-            & okb & (jnp.abs(area) > 1e-12)
+        # Chunk-level binning reject: triangles are tile-sorted, so the
+        # chunk bbox is tight and most chunks miss most tiles.
+        cbx0 = bx0_ref[pl.ds(b, 1), :][0, 0]
+        cbx1 = bx1_ref[pl.ds(b, 1), :][0, 0]
+        cby0 = by0_ref[pl.ds(b, 1), :][0, 0]
+        cby1 = by1_ref[pl.ds(b, 1), :][0, 0]
+        overlap = (
+            (cbx0 <= tile_x1) & (cbx1 >= tile_x0)
+            & (cby0 <= tile_y1) & (cby1 >= tile_y0)
         )
-        z = w0 * za + w1 * zb + w2 * zc
-        z = jnp.where(cov & (z > 0) & (z < 1), z, BIG)
-        zbest = jnp.min(z, axis=0, keepdims=True)             # (1, PX)
-        best = jnp.argmin(z, axis=0, keepdims=True).astype(jnp.int32)
-        better = zbest < depth
-        depth = jnp.where(better, zbest, depth)
-        tid = jnp.where(better, b * CHUNK + best, tid)
-        return depth, tid
+
+        def compute(carry):
+            depth, tid = carry
+            sl = lambda r: r[pl.ds(b * CHUNK, CHUNK), :]      # (CHUNK, 1)
+            ax, ay = sl(ax_ref), sl(ay_ref)
+            bx, by = sl(bx_ref), sl(by_ref)
+            cx, cy = sl(cx_ref), sl(cy_ref)
+            za, zb, zc = sl(za_ref), sl(zb_ref), sl(zc_ref)
+            okb = sl(ok_ref) > 0.5
+            area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
+            e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)  # (CHUNK, PX)
+            e1 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+            e2 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            w0 = e0 * inv_area
+            w1 = e1 * inv_area
+            w2 = e2 * inv_area
+            cov = (
+                (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+                & okb & (jnp.abs(area) > 1e-12)
+            )
+            z = w0 * za + w1 * zb + w2 * zc
+            z = jnp.where(cov & (z > 0) & (z < 1), z, BIG)
+            zbest = jnp.min(z, axis=0, keepdims=True)         # (1, PX)
+            best = jnp.argmin(z, axis=0, keepdims=True).astype(jnp.int32)
+            better = zbest < depth
+            depth = jnp.where(better, zbest, depth)
+            tid = jnp.where(better, b * CHUNK + best, tid)
+            return depth, tid
+
+        return jax.lax.cond(overlap, compute, lambda c: c, carry)
 
     depth0 = jnp.full((1, PX), BIG, jnp.float32)
     tid0 = jnp.full((1, PX), -1, jnp.int32)
@@ -94,23 +120,55 @@ def rasterize_ids_pallas(
     """Z-buffer rasterization from screen-space triangles.
 
     sx/sy/sz: (T, 3) screen coords + ndc depth; ok: (T,) bool.
-    Returns (depth (H, W), tid (H, W) i32, -1 = background).
+    Returns (depth (H, W), tid (H, W) i32, -1 = background). tid refers to
+    the caller's ORIGINAL triangle order (the internal tile sort is undone).
     """
     TH, TW = 32, 128
     CHUNK = 128
     PX = TH * TW
     T = sx.shape[0]
-    T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
-    pad1 = lambda a: jnp.pad(a, ((0, T_pad - T),))[:, None]   # (T_pad, 1)
-    okf = pad1(ok.astype(jnp.float32))
     Hp = ((H + TH - 1) // TH) * TH
     Wp = ((W + TW - 1) // TW) * TW
     nty, ntx = Hp // TH, Wp // TW
+
+    # Tile-sort triangles by bbox-center tile id (invalid last) so chunks
+    # are spatially coherent and the in-kernel bbox reject fires.
+    cx_mid = jnp.mean(sx, axis=1)
+    cy_mid = jnp.mean(sy, axis=1)
+    tx = jnp.clip((cx_mid // TW).astype(jnp.int32), 0, ntx - 1)
+    ty = jnp.clip((cy_mid // TH).astype(jnp.int32), 0, nty - 1)
+    key = jnp.where(ok, ty * ntx + tx, jnp.int32(1 << 30))
+    order = jnp.argsort(key)
+    sx, sy, sz, ok = sx[order], sy[order], sz[order], ok[order]
+
+    T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
+    pad1 = lambda a: jnp.pad(a, ((0, T_pad - T),))[:, None]   # (T_pad, 1)
+    okf = pad1(ok.astype(jnp.float32))
+
+    # Per-chunk screen bboxes (masked; empty chunk → inverted bbox that
+    # never overlaps).
+    nblk = T_pad // CHUNK
+
+    def chunk_minmax(v, lo):
+        vp = jnp.pad(v, ((0, T_pad - T), (0, 0)),
+                     constant_values=BIG if lo else -BIG)
+        vp = jnp.where(
+            jnp.pad(ok, (0, T_pad - T))[:, None], vp,
+            BIG if lo else -BIG,
+        )
+        r = vp.reshape(nblk, CHUNK * 3)
+        return (jnp.min(r, axis=1) if lo else jnp.max(r, axis=1))[:, None]
+
+    bx0 = chunk_minmax(sx, True)
+    bx1 = chunk_minmax(sx, False)
+    by0 = chunk_minmax(sy, True)
+    by1 = chunk_minmax(sy, False)
 
     args = [
         pad1(sx[:, 0]), pad1(sy[:, 0]), pad1(sx[:, 1]), pad1(sy[:, 1]),
         pad1(sx[:, 2]), pad1(sy[:, 2]),
         pad1(sz[:, 0]), pad1(sz[:, 1]), pad1(sz[:, 2]), okf,
+        bx0, bx1, by0, by1,
     ]
     kernel = functools.partial(
         _raster_tile_kernel, TH=TH, TW=TW, CHUNK=CHUNK, T_pad=T_pad, ntx=ntx
@@ -121,6 +179,9 @@ def rasterize_ids_pallas(
         in_specs=[
             pl.BlockSpec((T_pad, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
             for _ in range(10)
+        ] + [
+            pl.BlockSpec((nblk, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
+            for _ in range(4)
         ],
         out_specs=(
             pl.BlockSpec(
@@ -139,5 +200,8 @@ def rasterize_ids_pallas(
     # (tiles, PX) rows → (H, W) image (outside the kernel, reshapes are free).
     depth = depth.reshape(nty, ntx, TH, TW).transpose(0, 2, 1, 3).reshape(Hp, Wp)
     tid = tid.reshape(nty, ntx, TH, TW).transpose(0, 2, 1, 3).reshape(Hp, Wp)
-    tid = jnp.where(tid >= T, -1, tid)
+    # Map sorted-domain ids back to the caller's order.
+    tid = jnp.where((tid >= 0) & (tid < T), tid, T)
+    order_ext = jnp.concatenate([order, jnp.array([-1], jnp.int32)])
+    tid = order_ext[tid]
     return depth[:H, :W], tid[:H, :W]

@@ -182,20 +182,19 @@ class Scene:
         P, T = baked.P, baked.T
         tris = baked.mesh.reshape(P * T, 3, 3)
         tvalid = baked.mesh_valid.reshape(P * T)
-        # Ground plane (reference ground at y=-2, Surtr.cpp:1523-1528),
-        # tessellated 8×8 — the rasterizer culls triangles with any vertex
-        # behind the camera (no near-plane clipping), so one huge quad would
-        # vanish whenever a corner is behind the eye.
+        # Ground plane (reference ground at y=-2, Surtr.cpp:1523-1528) as a
+        # single quad — the rasterizer near-clips partial triangles now.
         gy = self.cfg.physics.ground_y
-        g, n = 48.0, 12
-        xs = np.linspace(-g, g, n + 1)
-        quads = []
-        for i in range(n):
-            for j in range(n):
-                x0, x1, z0, z1 = xs[i], xs[i + 1], xs[j], xs[j + 1]
-                quads.append([[x0, gy, z0], [x0, gy, z1], [x1, gy, z1]])
-                quads.append([[x0, gy, z0], [x1, gy, z1], [x1, gy, z0]])
-        ground = jnp.asarray(np.asarray(quads, np.float32))
+        g = 48.0
+        ground = jnp.asarray(
+            np.asarray(
+                [
+                    [[-g, gy, -g], [-g, gy, g], [g, gy, g]],
+                    [[-g, gy, -g], [g, gy, g], [g, gy, -g]],
+                ],
+                np.float32,
+            )
+        )
         ng = ground.shape[0]
         tris = jnp.concatenate([tris, ground])
         tvalid = jnp.concatenate([tvalid, jnp.ones(ng, bool)])
