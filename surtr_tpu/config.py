@@ -58,6 +58,16 @@ class FractureConfig:
                                  # whole pipeline; 0 disables splitting)
     island_label_iters: int = 12 # label-propagation rounds per labeling
 
+    exact_face_overlap: bool = False
+                                 # HandleConvexIsland contact test: False =
+                                 # coplanar-opposite faces + bounding-sphere
+                                 # overlap (conservative toward keeping
+                                 # contact); True = exact 2-D SAT overlap of
+                                 # the coplanar face polygons (the
+                                 # reference's point-in-polygon scan,
+                                 # Surtr.cpp:2240-2325) — parity mode, costs
+                                 # a top-k + scatter per event
+
     # f32 tolerance at unit scale (reference: 1e-10 in f64, Poly.cpp:718).
     plane_tol: float = 1e-6
 

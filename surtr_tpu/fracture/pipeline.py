@@ -735,7 +735,9 @@ def do_fracture(
 
     # --- HandleConvexIsland (Surtr.cpp:2203-2366): split every compound into
     # contact-connected components.
-    packed = split_groups_by_contact(packed, eps=1e-3 * mas)
+    packed = split_groups_by_contact(
+        packed, eps=1e-3 * mas, exact=cfg.exact_face_overlap
+    )
 
     metrics = {
         "active_pieces": jnp.sum(active),
@@ -755,15 +757,17 @@ def do_fracture(
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=())
-def split_groups_by_contact(pieces: PieceSet, eps) -> PieceSet:
+@functools.partial(jax.jit, static_argnames=("exact",))
+def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> PieceSet:
     """Split every compound (group) into face-contact-connected components.
 
     Contact test: a pair of pieces touches iff they own *opposite, coplanar*
     faces (cut faces share planes bitwise) whose bounding spheres overlap —
     the batched analogue of the reference's AbsD-sorted coplanar scan +
-    point-in-polygon check (Surtr.cpp:2240-2325; ours trades the exact 2-D
-    overlap for a sphere test, conservative toward keeping contact).
+    point-in-polygon check (Surtr.cpp:2240-2325; the sphere test is
+    conservative toward keeping contact). With ``exact=True`` sphere-passing
+    pairs are refined by an exact 2-D SAT overlap of the coplanar polygons
+    (top-4 candidate partners per face), matching the reference's exact scan.
     Components then relabel ``group`` (flood fill, Surtr.cpp:2325-2352).
     """
     P, F = pieces.P, pieces.convex.F
@@ -806,8 +810,72 @@ def split_groups_by_contact(pieces: PieceSet, eps) -> PieceSet:
         & m_flat[:, None] & m_flat[None, :]
     )
 
-    # Face-level contact → piece-level adjacency.
-    adj = jnp.any(touch.reshape(P, F, P, F), axis=(1, 3))
+    if exact:
+        # Refine sphere-passing pairs with an exact 2-D SAT overlap of the
+        # coplanar face polygons (top-4 candidates per face).
+        K4 = 4
+        S = pieces.convex.S
+        score = jnp.where(touch, -cdist2, -BIG)
+        _, cand = jax.lax.top_k(score, K4)                  # (pf, K4)
+        cmask = jnp.take_along_axis(touch, cand, axis=1)
+        fv_flat = pieces.convex.face_verts.reshape(pf, S, 3)
+        nv_flat = pieces.convex.n_verts.reshape(pf)
+
+        def pair_overlap(i):
+            """(K4,) exact overlaps of face i against its candidates."""
+            from surtr_tpu.ops.clip import plane_basis
+
+            ni = n_flat[i]
+            u, v = plane_basis(ni)
+            ai = fv_flat[i]                                 # (S, 3)
+            mi = jnp.arange(S) < nv_flat[i]
+            a2 = jnp.stack([ai @ u, ai @ v], axis=-1)       # (S, 2)
+            bj = fv_flat[cand[i]]                           # (K4, S, 3)
+            mj = jnp.arange(S)[None, :] < nv_flat[cand[i]][:, None]
+            b2 = jnp.stack(
+                [jnp.sum(bj * u, -1), jnp.sum(bj * v, -1)], axis=-1
+            )                                               # (K4, S, 2)
+
+            def axes_of(p2, m):
+                nxt = jnp.roll(p2, -1, axis=-2)
+                e = nxt - p2
+                return jnp.stack([-e[..., 1], e[..., 0]], -1), m
+
+            axA, mA = axes_of(a2, mi)                       # (S, 2)
+            axB, mB = axes_of(b2, mj)                       # (K4, S, 2)
+            axes = jnp.concatenate(
+                [jnp.broadcast_to(axA[None], (K4, S, 2)), axB], axis=1
+            )                                               # (K4, 2S, 2)
+            am = jnp.concatenate(
+                [jnp.broadcast_to(mi[None], (K4, S)), mB], axis=1
+            )
+            pa = jnp.sum(a2[None, None] * axes[:, :, None, :], -1)  # (K4,2S,S)
+            pb = jnp.sum(b2[:, None] * axes[:, :, None, :], -1)
+            big = jnp.asarray(BIG, pa.dtype)
+            a_lo = jnp.min(jnp.where(mi[None, None], pa, big), -1)
+            a_hi = jnp.max(jnp.where(mi[None, None], pa, -big), -1)
+            b_lo = jnp.min(jnp.where(mj[:, None], pb, big), -1)
+            b_hi = jnp.max(jnp.where(mj[:, None], pb, -big), -1)
+            sep = am & ((a_hi < b_lo - eps) | (b_hi < a_lo - eps))
+            return ~jnp.any(sep, axis=-1)
+
+        exact_ok = jax.vmap(pair_overlap)(jnp.arange(pf)) & cmask
+        # Face-pair → piece-level adjacency, scatter-free: piece adj via
+        # per-face one-hot owner contraction over the K4 candidate slots.
+        pj = owner[cand]                                    # (pf, K4)
+        hit_f = jnp.any(exact_ok, axis=1)
+        # adj[pi, pj] |= exact_ok — via max over faces of one-hot products.
+        oh_j = jax.nn.one_hot(
+            jnp.where(exact_ok, pj, P), P + 1, dtype=jnp.float32
+        )[..., :P]                                          # (pf, K4, P)
+        contrib = jnp.max(oh_j, axis=1)                     # (pf, P)
+        adjf = jax.ops.segment_max(
+            contrib, owner, num_segments=P
+        )                                                   # (P, P)
+        adj = adjf > 0.5
+    else:
+        # Face-level contact → piece-level adjacency.
+        adj = jnp.any(touch.reshape(P, F, P, F), axis=(1, 3))
 
     comp = adjacency_components(adj, pieces.valid)  # (P,) min reachable index
 

@@ -202,3 +202,52 @@ def test_fracture_pieces_are_convex():
                     continue
                 s = fv[p, f, : nv[p, f]] @ pl[p, g, :3] + pl[p, g, 3]
                 assert (s < 1e-3 * scale).all()
+
+
+def test_exact_face_overlap_splits_laterally_offset_pieces():
+    """VERDICT r1 item 7: two pieces whose cut faces are coplanar/opposite
+    but laterally offset (no 2-D overlap) must split under the exact test;
+    the bounding-sphere proxy over-connects them."""
+    from surtr_tpu.fracture.types import PieceSet
+    from surtr_tpu.types import unit_cube
+
+    # Unit cubes side by side along x sharing the plane x=0.5, but offset
+    # 1.2 in y: face centers 1.2 apart, sphere radii ~0.707 each → spheres
+    # overlap, polygons don't.
+    polys = [
+        translate_poly(unit_cube(), jnp.asarray([0.0, 0.0, 0.0])),
+        translate_poly(unit_cube(), jnp.asarray([1.0, 1.2, 0.0])),
+    ]
+    conv = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *polys)
+    pieces = PieceSet(
+        conv,
+        jnp.zeros((2, 4, 3, 3)),
+        jnp.zeros((2, 4), bool),
+        jnp.ones((2,), bool),
+        jnp.zeros((2,), jnp.int32),       # same compound
+        jnp.full((2,), -1, jnp.int32),
+    )
+    loose = split_groups_by_contact(pieces, eps=1e-3, exact=False)
+    strict = split_groups_by_contact(pieces, eps=1e-3, exact=True)
+    lg = np.asarray(loose.group)[np.asarray(loose.valid)]
+    sg = np.asarray(strict.group)[np.asarray(strict.valid)]
+    assert len(set(lg.tolist())) == 1, lg    # sphere proxy keeps them glued
+    assert len(set(sg.tolist())) == 2, sg    # exact overlap splits
+
+    # Control: actually touching pieces stay glued under the exact test too.
+    polys2 = [
+        translate_poly(unit_cube(), jnp.asarray([0.0, 0.0, 0.0])),
+        translate_poly(unit_cube(), jnp.asarray([1.0, 0.3, 0.0])),
+    ]
+    conv2 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *polys2)
+    pieces2 = PieceSet(
+        conv2,
+        jnp.zeros((2, 4, 3, 3)),
+        jnp.zeros((2, 4), bool),
+        jnp.ones((2,), bool),
+        jnp.zeros((2,), jnp.int32),
+        jnp.full((2,), -1, jnp.int32),
+    )
+    s2 = split_groups_by_contact(pieces2, eps=1e-3, exact=True)
+    g2 = np.asarray(s2.group)[np.asarray(s2.valid)]
+    assert len(set(g2.tolist())) == 1, g2
