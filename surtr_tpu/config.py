@@ -87,6 +87,11 @@ class PhysicsConfig:
     solver_iters: int = 10         # projected-impulse iterations (stacking
                                    # verified stable at 8; PhysX defaults to
                                    # 4+1 — Jacobi needs a few more)
+    solver_substeps: int = 2       # impulse updates per partner-velocity
+                                   # refresh (chaotic-relaxation Jacobi:
+                                   # own-body state updates every substep,
+                                   # partner velocities every refresh —
+                                   # halves the gather/launch count)
     baumgarte: float = 0.2         # positional-bias factor
     contact_slop: float = 1e-3
     bounce_threshold: float = 0.25 # approach speed below which restitution
@@ -108,6 +113,10 @@ class PhysicsConfig:
                                    # exactly one piece (fully shattered
                                    # scenes): enables the gather-free solver
                                    # fast path (segment sums are identity)
+    force_pallas_solver: bool = False
+                                   # run the fused Pallas solver even off-TPU
+                                   # (interpret mode) — used by tests to
+                                   # check parity with the XLA solver
     sleep_velocity: float = 0.0    # 0 disables sleeping
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep

@@ -450,15 +450,16 @@ def physics_step(
     mvals = mvals.at[:, :, 0].set(jnp.where(none, depth, mvals[:, :, 0]))
     mhit = mhit.at[:, :, 0].set(mhit[:, :, 0] | none)
 
-    pc_p = mpts.reshape(Np, K * M, 3)
-    pc_d = jnp.maximum(mvals.reshape(Np, K * M), 0.0)
-    pc_hit = mhit.reshape(Np, K * M)
-    pc_nrm = jnp.broadcast_to(
-        pc_n[:, :, None, :], (Np, K, M, 3)
-    ).reshape(Np, K * M, 3)
-    pc_partner = jnp.broadcast_to(
-        pidx[:, :, None], (Np, K, M)
-    ).reshape(Np, K * M)
+    # Slot ordering is TILED over pairs (slot = m·K + k): the fused Pallas
+    # solver re-expands per-pair partner velocities with pltpu.repeat, which
+    # tiles — all slot arrays must share that ordering.
+    pc_p = jnp.transpose(mpts, (0, 2, 1, 3)).reshape(Np, K * M, 3)
+    pc_d = jnp.maximum(
+        jnp.transpose(mvals, (0, 2, 1)).reshape(Np, K * M), 0.0
+    )
+    pc_hit = jnp.transpose(mhit, (0, 2, 1)).reshape(Np, K * M)
+    pc_nrm = jnp.tile(pc_n, (1, M, 1))
+    pc_partner = jnp.tile(pidx, (1, M))
 
     # --- 3c. ground contacts: deepest G verts below y = ground_y.
     depth_v = cfg.ground_y - wverts[..., 1]
@@ -513,40 +514,33 @@ def physics_step(
     # masked static (is_static covers both pair-miss and ground slots).
     pair_body = owner[jnp.maximum(pidx, 0)]                    # (Np, K)
 
-    def rel_vel(v, w):
-        if single:
-            vA = v[:, None] + jnp.cross(
-                jnp.broadcast_to(w[:, None], rA.shape), rA
-            )
-        else:
-            vA = v[myb][:, None] + jnp.cross(
-                jnp.broadcast_to(w[myb][:, None], rA.shape), rA
-            )
+    def partner_vel(v, w):
         vwB = jnp.concatenate([v, w], axis=1)[pair_body]       # (Np, K, 6)
         vB_pair = vwB[..., :3]
         wB_pair = vwB[..., 3:]
+        # Tile ordering over pairs (slot = m·K + k) — must match the slot
+        # assembly above and the Pallas solver's pltpu.repeat.
         vB = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    vB_pair[:, :, None, :], (Np, K, M, 3)
-                ).reshape(Np, K * M, 3),
-                jnp.zeros((Np, G, 3), v.dtype),
-            ],
+            [jnp.tile(vB_pair, (1, M, 1)), jnp.zeros((Np, G, 3), v.dtype)],
             axis=1,
         )
         wB = jnp.concatenate(
-            [
-                jnp.broadcast_to(
-                    wB_pair[:, :, None, :], (Np, K, M, 3)
-                ).reshape(Np, K * M, 3),
-                jnp.zeros((Np, G, 3), v.dtype),
-            ],
+            [jnp.tile(wB_pair, (1, M, 1)), jnp.zeros((Np, G, 3), v.dtype)],
             axis=1,
         )
-        vB_full = jnp.where(
-            is_static[..., None], 0.0, vB + jnp.cross(wB, rB)
+        return jnp.where(is_static[..., None], 0.0, vB + jnp.cross(wB, rB))
+
+    def own_vel(v, w):
+        if single:
+            return v[:, None] + jnp.cross(
+                jnp.broadcast_to(w[:, None], rA.shape), rA
+            )
+        return v[myb][:, None] + jnp.cross(
+            jnp.broadcast_to(w[myb][:, None], rA.shape), rA
         )
-        return vA - vB_full
+
+    def rel_vel(v, w):
+        return own_vel(v, w) - partner_vel(v, w)
 
     vn0 = jnp.sum(rel_vel(v0, w0) * nrm, axis=-1)
     bounce = -cfg.restitution * jnp.minimum(vn0 + cfg.bounce_threshold, 0.0)
@@ -566,39 +560,73 @@ def physics_step(
 
     mu = cfg.dynamic_friction
 
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+
+    on_tpu = _target_is_tpu()
+    if single and (on_tpu or cfg.force_pallas_solver):
+        # Fused Pallas iteration: one kernel per iteration instead of ~25
+        # XLA ops (per-op overhead dominated the solver at 10k bodies).
+        from surtr_tpu.physics.solver_pallas import solve_contacts_pallas
+
+        v1, w1 = solve_contacts_pallas(
+            v0, w0, pidx, rA, rB, nrm, m_eff, target, hit, is_static,
+            inv_m, split_body, inv_I,
+            K=K, M=M, G=G, iters=cfg.solver_iters,
+            substeps=max(1, cfg.solver_substeps), mu=mu,
+            interpret=not on_tpu,
+        )
+        if profile_stage <= 4:
+            return _stage_out(scene, v1, w1)
+        return _integrate(scene, bodies, v1, w1, dt)
+
+    S = max(1, cfg.solver_substeps)
+    outer = (cfg.solver_iters + S - 1) // S
+
     def solver_iter(carry, _):
         v, w = carry
-        vr = rel_vel(v, w)
-        vn = jnp.sum(vr * nrm, axis=-1)
-        lam_n = jnp.maximum(-(vn - target) * m_eff, 0.0)
-        vt = vr - vn[..., None] * nrm
-        vt_len = jnp.linalg.norm(vt, axis=-1)
-        t_dir = vt / jnp.maximum(vt_len, 1e-9)[..., None]
-        lam_t = jnp.minimum(vt_len * m_eff, mu * lam_n)
-        imp = jnp.where(
-            hit[..., None], lam_n[..., None] * nrm - lam_t[..., None] * t_dir, 0.0
-        )                                                      # (Np, C, 3)
-        piece_dv = jnp.sum(imp, axis=1) * iA_m * sA[..., 0]
-        dw_terms = matvec3(
-            jnp.broadcast_to(iA_I, rA.shape[:2] + (3, 3)), jnp.cross(rA, imp)
-        )
-        piece_dw = jnp.sum(dw_terms * sA, axis=1)
-        if single:
-            v = v + piece_dv
-            w = w + piece_dw
-        else:
-            v = v + _segment_sums(piece_dv, seg)
-            w = w + _segment_sums(piece_dw, seg)
+        # Chaotic-relaxation Jacobi: partner velocities refresh once per
+        # outer iteration, own-body state every substep (mirrors the
+        # fused Pallas solver exactly).
+        vB_full = partner_vel(v, w)
+        for _ in range(S):
+            vr = own_vel(v, w) - vB_full
+            vn = jnp.sum(vr * nrm, axis=-1)
+            lam_n = jnp.maximum(-(vn - target) * m_eff, 0.0)
+            vt = vr - vn[..., None] * nrm
+            vt_len = jnp.linalg.norm(vt, axis=-1)
+            t_dir = vt / jnp.maximum(vt_len, 1e-9)[..., None]
+            lam_t = jnp.minimum(vt_len * m_eff, mu * lam_n)
+            imp = jnp.where(
+                hit[..., None],
+                lam_n[..., None] * nrm - lam_t[..., None] * t_dir,
+                0.0,
+            )                                                  # (Np, C, 3)
+            piece_dv = jnp.sum(imp, axis=1) * iA_m * sA[..., 0]
+            dw_terms = matvec3(
+                jnp.broadcast_to(iA_I, rA.shape[:2] + (3, 3)),
+                jnp.cross(rA, imp),
+            )
+            piece_dw = jnp.sum(dw_terms * sA, axis=1)
+            if single:
+                v = v + piece_dv
+                w = w + piece_dw
+            else:
+                v = v + _segment_sums(piece_dv, seg)
+                w = w + _segment_sums(piece_dw, seg)
         return (v, w), None
 
-    (v1, w1), _ = jax.lax.scan(
-        solver_iter, (v0, w0), None, length=cfg.solver_iters
-    )
+    (v1, w1), _ = jax.lax.scan(solver_iter, (v0, w0), None, length=outer)
 
     if profile_stage <= 4:
         return _stage_out(scene, v1, w1)
 
-    # --- 5. integrate
+    return _integrate(scene, bodies, v1, w1, dt)
+
+
+def _integrate(scene, bodies, v1, w1, dt):
+    """Stage 5: symplectic Euler + quaternion renormalization."""
+    import dataclasses
+
     act = bodies.active
     v1 = jnp.where(act[:, None], v1, 0.0)
     w1 = jnp.where(act[:, None], w1, 0.0)
@@ -611,6 +639,4 @@ def physics_step(
         inv_inertia_body=bodies.inv_inertia_body,
         active=act,
     )
-    import dataclasses
-
     return dataclasses.replace(scene, bodies=new_bodies)

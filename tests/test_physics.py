@@ -170,3 +170,31 @@ def test_raycast_and_sphere_overlap():
     assert ov2.tolist() == [True, True]
     ov3 = sphere_overlap(s, jnp.array([1.5, 0.0, 0.0]), 0.9)
     assert ov3.tolist() == [False, False]
+
+
+def test_pallas_solver_matches_xla_solver():
+    """The fused Pallas solver iteration (single-piece bodies) must agree
+    with the XLA reference path."""
+    import dataclasses
+
+    offsets = [[0, -1.45, 0], [0, -0.4, 0], [0.3, 0.65, 0], [5, -1.4, 0]]
+    groups = list(range(4))
+    base = dataclasses.replace(PCFG, single_piece_bodies=True)
+    s0 = build_scene(make_pieces(offsets, groups), base)
+    s_x = s0
+    s_p = s0
+    step_x = jax.jit(lambda s: physics_step(s, base))
+    forced = dataclasses.replace(base, force_pallas_solver=True)
+    step_p = jax.jit(lambda s: physics_step(s, forced))
+    for _ in range(30):
+        s_x = step_x(s_x)
+        s_p = step_p(s_p)
+    np.testing.assert_allclose(
+        np.asarray(s_p.bodies.x), np.asarray(s_x.bodies.x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.bodies.v), np.asarray(s_x.bodies.v), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_p.bodies.w), np.asarray(s_x.bodies.w), atol=1e-4
+    )
