@@ -82,9 +82,9 @@ def bench_decomposition_1k(cfg_overrides=None):
         pieces, ctx, met = prepare_fracture(verts, vm, corners, tm, cloud, key, cfg)
         return pieces.valid, met["total_volume"]
 
-    # Amortize the ~25 ms tunnel dispatch latency over 4 independent events
+    # Amortize the ~25 ms tunnel dispatch latency over 8 independent events
     # (steady-state per-event cost is what the north star describes).
-    REP = 4
+    REP = 8
     keys = jax.random.split(key, REP)
 
     @jax.jit
@@ -221,11 +221,20 @@ def bench_cube32():
     )
     impact = jnp.array([1.5, 1.5, 1.5])
 
-    def run(p):
-        out, met = do_fracture(p, ctx, impact, 0, cfg, partial=True)
-        return out.valid
+    # Steady-state per-event cost (same amortization as the other configs).
+    REP = 4
 
-    ms = timeit(run, pieces)
+    @jax.jit
+    def run_many(p):
+        def body(c, i):
+            out, met = do_fracture(
+                p, ctx, impact + c * 0, 0, cfg, partial=True
+            )
+            return c + jnp.sum(out.valid), None
+
+        return jax.lax.scan(body, jnp.float32(0), jnp.arange(REP))[0]
+
+    ms = timeit(run_many, pieces) / REP
     return ms
 
 

@@ -117,7 +117,16 @@ class PhysicsConfig:
                                    # run the fused Pallas solver even off-TPU
                                    # (interpret mode) — used by tests to
                                    # check parity with the XLA solver
-    sleep_velocity: float = 0.0    # 0 disables sleeping
+    sleep_velocity: float = 0.05   # bodies slower than this (|v| and |ω|)
+                                   # for sleep_frames consecutive steps go
+                                   # to sleep: frozen pose, static for
+                                   # partners (PhysX putToSleep semantics;
+                                   # 0 disables). Stability feature — the
+                                   # batched step computes masked work for
+                                   # sleeping bodies either way
+    sleep_frames: int = 30         # consecutive slow steps before sleeping
+    wake_speed: float = 0.2        # contact approach speed that wakes a
+                                   # sleeping body
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
     broadphase: str = "sorted"     # "sorted" = Morton-window sweep (O(N·W));

@@ -40,6 +40,8 @@ class PhysicsScene:
     piece_edges: jax.Array   # (Np, Ne, 3) distinct body-frame edge directions
     piece_emask: jax.Array   # (Np, Ne) bool
     seg_start: jax.Array     # (B+1,) piece-run offsets per body (sorted owner)
+    sleep_frames: jax.Array  # (B,) i32 consecutive slow steps (body sleeping,
+                             # PhysX putToSleep analogue; SURVEY §2.2 T2)
 
     @property
     def B(self) -> int:
@@ -202,6 +204,7 @@ def build_scene(
         piece_edges=edges[order],
         piece_emask=(emask & pieces.valid[:, None])[order],
         seg_start=seg_start,
+        sleep_frames=jnp.zeros((B,), jnp.int32),
     )
 
 

@@ -482,6 +482,16 @@ def physics_step(
         is_static, 0, owner[jnp.maximum(partner_piece, 0)]
     )
 
+    # --- sleeping (PhysX putToSleep analogue): a sleeping body is frozen
+    # and acts as STATIC toward its contact partners; it wakes when a
+    # contact approaches faster than cfg.wake_speed.
+    do_sleep = cfg.sleep_velocity > 0
+    if do_sleep:
+        asleep_in = (
+            scene.sleep_frames >= cfg.sleep_frames
+        ) & bodies.active                                      # (B,)
+        is_static = is_static | (asleep_in[partner_body] & ~is_static)
+
     if profile_stage <= 3:
         return _stage_out(scene, nrm, pts, dep, hit)
 
@@ -489,7 +499,10 @@ def physics_step(
     inv_m = bodies.inv_mass
     inv_I = world_inv_inertia(bodies.q, bodies.inv_inertia_body)
     gravity = jnp.array([0.0, cfg.gravity, 0.0], wverts.dtype)
-    v0 = bodies.v + dt * gravity * (inv_m > 0)[:, None]
+    grav_on = (inv_m > 0)
+    if do_sleep:
+        grav_on = grav_on & ~asleep_in
+    v0 = bodies.v + dt * gravity * grav_on[:, None]
     w0 = bodies.w
 
     myb = owner                                               # (Np,)
@@ -575,9 +588,10 @@ def physics_step(
             substeps=max(1, cfg.solver_substeps), mu=mu,
             interpret=not on_tpu,
         )
-        if profile_stage <= 4:
-            return _stage_out(scene, v1, w1)
-        return _integrate(scene, bodies, v1, w1, dt)
+        return _finish_step(
+            scene, bodies, v1, w1, dt, cfg, profile_stage,
+            vn0, hit, is_static, single, myb,
+        )
 
     S = max(1, cfg.solver_substeps)
     outer = (cfg.solver_iters + S - 1) // S
@@ -617,13 +631,59 @@ def physics_step(
 
     (v1, w1), _ = jax.lax.scan(solver_iter, (v0, w0), None, length=outer)
 
+    return _finish_step(
+        scene, bodies, v1, w1, dt, cfg, profile_stage,
+        vn0, hit, is_static, single, myb,
+    )
+
+
+def _finish_step(
+    scene, bodies, v1, w1, dt, cfg, profile_stage,
+    vn0, hit, is_static, single, myb,
+):
+    """Sleep bookkeeping + stage-5 integration."""
     if profile_stage <= 4:
         return _stage_out(scene, v1, w1)
 
-    return _integrate(scene, bodies, v1, w1, dt)
+    sleep_frames = scene.sleep_frames
+    if cfg.sleep_velocity > 0:
+        # Wake on fast contact approach. For a sleeping body own velocity
+        # is zero, so |vn0| at its slots is the partner's approach speed.
+        dist_piece = jnp.any(
+            hit & ~is_static & (jnp.abs(vn0) > cfg.wake_speed), axis=1
+        )
+        if single:
+            disturbed = dist_piece
+        else:
+            B = scene.B
+            disturbed = (
+                jax.ops.segment_max(
+                    dist_piece.astype(jnp.int32),
+                    jnp.clip(myb, 0, B - 1),
+                    num_segments=B,
+                )
+                > 0
+            )
+        speed2 = jnp.sum(v1 * v1, -1) + jnp.sum(w1 * w1, -1)
+        slow = speed2 < cfg.sleep_velocity**2
+        cnt = jnp.where(
+            disturbed,
+            0,
+            jnp.where(
+                slow,
+                jnp.minimum(sleep_frames + 1, cfg.sleep_frames + 1),
+                0,
+            ),
+        )
+        asleep = (cnt >= cfg.sleep_frames) & ~disturbed & bodies.active
+        v1 = jnp.where(asleep[:, None], 0.0, v1)
+        w1 = jnp.where(asleep[:, None], 0.0, w1)
+        sleep_frames = cnt
+
+    return _integrate(scene, bodies, v1, w1, dt, sleep_frames)
 
 
-def _integrate(scene, bodies, v1, w1, dt):
+def _integrate(scene, bodies, v1, w1, dt, sleep_frames):
     """Stage 5: symplectic Euler + quaternion renormalization."""
     import dataclasses
 
@@ -639,4 +699,6 @@ def _integrate(scene, bodies, v1, w1, dt):
         inv_inertia_body=bodies.inv_inertia_body,
         active=act,
     )
-    return dataclasses.replace(scene, bodies=new_bodies)
+    return dataclasses.replace(
+        scene, bodies=new_bodies, sleep_frames=sleep_frames
+    )

@@ -198,3 +198,30 @@ def test_pallas_solver_matches_xla_solver():
     np.testing.assert_allclose(
         np.asarray(s_p.bodies.w), np.asarray(s_x.bodies.w), atol=1e-4
     )
+
+
+def test_body_sleeping_and_wake():
+    """PhysX putToSleep analogue: a settled body sleeps (frozen, zero
+    velocity); an incoming fast body wakes it."""
+    import dataclasses
+
+    s = build_scene(make_pieces([[0, -1.49, 0]], [0]), PCFG)
+    s = run(s, 120)  # settle + sleep (30 slow frames needed)
+    assert int(s.sleep_frames[0]) >= PCFG.sleep_frames
+    assert float(jnp.abs(s.bodies.v).max()) == 0.0
+    y_sleep = float(s.bodies.x[0, 1])
+    s = run(s, 60)
+    # frozen: no drift at all while asleep
+    assert float(s.bodies.x[0, 1]) == y_sleep
+
+    # Drop a second body onto it → wake.
+    s2 = build_scene(
+        make_pieces([[0, -1.49, 0], [0, 1.5, 0]], [0, 1]), PCFG
+    )
+    s2 = run(s2, 90)  # bottom sleeps, top falls and lands (~0.4 s fall)
+    # after impact the bottom body must be awake (counter reset at impact)
+    # and both eventually settle again
+    s2 = run(s2, 300)
+    ys = np.asarray(s2.bodies.x[:, 1])
+    assert abs(ys[0] + 1.5) < 0.06, ys
+    assert abs(ys[1] + 0.5) < 0.12, ys
