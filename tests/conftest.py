@@ -35,3 +35,12 @@ assert jax.default_backend() == "cpu", (
 assert len(jax.devices()) >= 8, (
     f"tests need 8 virtual CPU devices, got {len(jax.devices())}"
 )
+
+# Persistent compile cache: the suite is compile-dominated (each fracture /
+# physics config is a fresh jit, ~30-90 s each on CPU). Warm runs drop from
+# ~13 min to a few minutes. Keyed by HLO hash — safe across code changes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SURTR_JAX_CACHE", "/root/repo/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
