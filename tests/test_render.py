@@ -67,3 +67,35 @@ def test_render_scene_shadow():
     vals = img[..., 0][ground_mask]
     assert vals.max() > 0.5          # lit ground
     assert vals.min() < 0.25         # shadowed region under the square
+
+
+def test_pallas_raster_matches_jnp_path():
+    """Interpret-mode parity of the banned/banded Pallas tile rasterizer
+    against the jnp reference path (same depth and triangle ids)."""
+    import numpy as np
+
+    from surtr_tpu.render.camera import look_at, perspective
+    from surtr_tpu.render.raster import _project, near_clip, _screen, raster_screen
+    from surtr_tpu.render.raster_pallas import rasterize_ids_pallas
+
+    rng = np.random.default_rng(3)
+    T = 300
+    centers = rng.uniform(-3, 3, (T, 1, 3)).astype(np.float32)
+    tris = jnp.asarray(centers + rng.normal(0, 0.4, (T, 3, 3)).astype(np.float32))
+    # one screen-large triangle (ground-quad analogue) exercises the head path
+    tris = tris.at[0].set(
+        jnp.asarray([[-30, -2, -30], [-30, -2, 30], [30, -2, 30]], jnp.float32)
+    )
+    valid = jnp.ones((T,), bool)
+    cam = perspective(45, 1.0, 0.1, 100) @ look_at((7, 5, 7), (0, 0, 0))
+    W = H = 128
+
+    clip = _project(tris, cam)
+    clip2, ok2 = near_clip(clip, valid)
+    sx, sy, sz, _ = _screen(clip2, W, H)
+    d_ref, t_ref = raster_screen(sx, sy, sz, ok2, W, H, use_pallas=False)
+    d_pal, t_pal = rasterize_ids_pallas(sx, sy, sz, ok2, W, H, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(d_pal), np.asarray(d_ref), atol=1e-6
+    )
+    assert (np.asarray(t_pal) == np.asarray(t_ref)).mean() > 0.999
