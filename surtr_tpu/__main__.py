@@ -54,6 +54,9 @@ def main(argv=None):
     p.add_argument("--save", default="", help="final state snapshot (.npz)")
     p.add_argument("--trajectory", default="",
                    help="write body trajectories to .npz")
+    p.add_argument("--preset", default="full", choices=("full", "tiny"),
+                   help="'tiny' = small static shapes (fast compiles; "
+                        "smoke tests / previews)")
     args = p.parse_args(argv)
 
     import dataclasses
@@ -63,11 +66,21 @@ def main(argv=None):
     from surtr_tpu.config import FractureConfig, RenderConfig, SceneConfig
     from surtr_tpu.scene import Scene
 
+    tiny = dict(
+        initial_decompose_cell_cnt=8,
+        max_pieces=64,
+        max_active_pieces=4,
+        max_piece_tris=96,
+        partial_pattern_cell_cnt=16,
+        general_pattern_cell_cnt=8,
+        voronoi_neighbors=7,
+    ) if args.preset == "tiny" else {}
     fcfg = FractureConfig(
         seed=args.seed,
         impact_radius=args.radius,
         partial_fracture=not args.no_partial,
         radial_mode=not args.no_radial,
+        **tiny,
     )
     rcfg = RenderConfig(
         width=args.size or 512, height=args.size or 512, shadow_size=args.shadow
