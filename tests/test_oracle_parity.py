@@ -82,3 +82,39 @@ def test_fracture_fragment_volumes_match_oracle():
     v_o = np.sort(np.asarray(v_o))
     assert np.allclose(v_t, v_o, atol=3e-5)
     assert np.isclose(v_t.sum(), 1.0, atol=1e-4)
+
+
+def test_reference_scale_drift_vs_oracle():
+    """f32 drift at reference-model SCALES (bunny sits at ~±35 after its
+    ×70 scale table entry; the unit-scale tolerances do not transfer
+    automatically). Clip a bunny-scale cube by random plane sequences and
+    bound the relative volume/centroid drift against the f64 oracle."""
+    from surtr_tpu.types import scale_poly
+
+    SCALE = 35.0
+    rng = np.random.default_rng(23)
+    rel_errs = []
+    for trial in range(4):
+        planes = []
+        for _ in range(5):
+            n = rng.normal(size=3)
+            n /= np.linalg.norm(n)
+            # plane offsets scaled with the geometry
+            planes.append(np.append(n, rng.uniform(-0.45, 0.15) * SCALE))
+        planes = np.asarray(planes)
+        big = scale_poly(unit_cube(), jnp.full((3,), SCALE))
+        ours = clip_poly_planes(
+            big, jnp.asarray(planes, jnp.float32), tol=1e-6 * SCALE
+        )
+        v_t, c_t = jmoments(ours)
+
+        oc = cube_polyhedron(half=0.5 * SCALE)
+        oc = clip_polyhedron(oc, planes)
+        v_o, c_o = moments(oc)
+        if v_o < 1e-3 * SCALE**3:
+            continue
+        rel_errs.append(abs(float(v_t) - v_o) / v_o)
+        assert np.allclose(np.asarray(c_t), c_o, atol=2e-3 * SCALE), trial
+    assert rel_errs, "all trials degenerate"
+    # measured drift ~1e-6..1e-5 relative; bound at 1e-4
+    assert max(rel_errs) < 1e-4, rel_errs
