@@ -84,7 +84,7 @@ class PhysicsConfig:
     restitution: float = 0.1
     ground_y: float = -2.0         # PxPlane(0,1,0,2) (Surtr.cpp:1527-1528)
 
-    solver_iters: int = 10         # projected-impulse iterations (stacking
+    solver_iters: int = 8          # projected-impulse iterations (stacking
                                    # verified stable at 8; PhysX defaults to
                                    # 4+1 — Jacobi needs a few more)
     solver_substeps: int = 2       # impulse updates per partner-velocity
