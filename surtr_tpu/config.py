@@ -68,6 +68,15 @@ class FractureConfig:
                                  # Surtr.cpp:2240-2325) — parity mode, costs
                                  # a top-k + scatter per event
 
+    voronoi_exact_topk: bool = False
+                                 # True = exact top_k for the k-nearest
+                                 # bisector selection; False = TPU
+                                 # approx_max_k (recall_target 0.99,
+                                 # measured recall 1.0 on uniform clouds,
+                                 # ~40% faster at 1k seeds). Set True for
+                                 # parity-critical runs: a missed near
+                                 # bisector duplicates cell volume.
+
     # f32 tolerance at unit scale (reference: 1e-10 in f64, Poly.cpp:718).
     plane_tol: float = 1e-6
 
@@ -117,6 +126,18 @@ class PhysicsConfig:
                                    # run the fused Pallas solver even off-TPU
                                    # (interpret mode) — used by tests to
                                    # check parity with the XLA solver
+    banded_solver: bool = True     # single launch for ALL solver iterations:
+                                   # contacts permuted into Morton-sorted
+                                   # order (broadphase="sorted" only) where
+                                   # partner rows sit within ±window — the
+                                   # per-iteration XLA partner gather becomes
+                                   # an in-kernel one-hot MXU select
+                                   # (physics/solver_banded.py)
+    solver_gauss_seidel: bool = False
+                                   # banded solver: let later Morton blocks
+                                   # see earlier blocks' updates within one
+                                   # iteration (faster convergence; breaks
+                                   # bitwise parity with the XLA Jacobi path)
     sleep_velocity: float = 0.05   # bodies slower than this (|v| and |ω|)
                                    # for sleep_frames consecutive steps go
                                    # to sleep: frozen pose, static for
@@ -129,8 +150,13 @@ class PhysicsConfig:
                                    # sleeping body
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
-    broadphase: str = "sorted"     # "sorted" = Morton-window sweep (O(N·W));
-                                   # "exact" = blocked all-pairs (O(N²/block))
+    broadphase: str = "auto"       # "sorted" = Morton-window sweep (O(N·W));
+                                   # "exact" = blocked all-pairs (O(N²/block));
+                                   # "auto" = exact when the piece pool fits
+                                   # one sweep block (small scenes, where
+                                   # exact is cheap and the Morton window's
+                                   # locality approximation buys nothing),
+                                   # sorted above it
     broadphase_window: int = 32    # sorted-order neighbors tested per side
 
 

@@ -174,7 +174,9 @@ def refit_convex(
     return clip_poly_planes(convex, planes, pm)
 
 
-def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
+def _cell_plane_sets(
+    seeds: jax.Array, k: int, extent, center, exact_topk: bool = False
+):
     """Per-seed half-space sets in world space: the 6 domain faces + the
     k-nearest bisectors, all computed in unit space (voro++ container parity)
     and transformed by the reference's anisotropic scale + translate
@@ -187,8 +189,13 @@ def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
     d2 = jnp.fill_diagonal(d2, big, inplace=False)
     # approx_max_k: the TPU-native aggregated top-k (~40% faster than exact
     # top_k at C=1k; recall measured 1.0 on uniform seed clouds — cell
-    # volume conservation is asserted by tests either way).
-    _, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.99)  # nearest first
+    # volume conservation is asserted by tests either way). A missed near
+    # bisector duplicates cell volume, so parity-critical runs can force the
+    # exact top-k via FractureConfig.voronoi_exact_topk.
+    if exact_topk:
+        _, idx = jax.lax.top_k(-d2, k)                      # nearest first
+    else:
+        _, idx = jax.lax.approx_max_k(-d2, k, recall_target=0.99)
 
     def one(seed, nbr):
         bp, bm = bisector_planes(seed, seeds[nbr], jnp.ones((k,), bool))
@@ -210,9 +217,7 @@ def _cell_plane_sets(seeds: jax.Array, k: int, extent, center):
     return jnp.concatenate([n, d], axis=-1), pmask
 
 
-def _split_mesh_islands(
-    conv, mtris, mmask, cplanes, cpmask, solid_t, solid_m, mas, cfg
-):
+def _split_mesh_islands(conv, mtris, mmask, solid_t, solid_m, mas, cfg):
     """CheckMeshIsland (Surtr.cpp:2157-2201) over a candidate batch.
 
     A candidate whose clipped surface splits into disconnected components
@@ -221,8 +226,7 @@ def _split_mesh_islands(
     merged with island 0.
 
     Inputs are batched over candidates (leading axis N): conv/mtris/mmask the
-    clipped candidate geometry, cplanes/cpmask the half-spaces that produced
-    it, solid_t/solid_m the candidate's source solid.
+    clipped candidate geometry, solid_t/solid_m the candidate's source solid.
 
     Capacity design: detection runs on EVERY candidate (cfg.max_islands
     labels tracked per candidate), but secondary islands land in a small
@@ -391,7 +395,9 @@ def prepare_fracture(
     k0, k1, k2 = jax.random.split(key, 3)
     seeds = uniform_seeds(k0, C)
     kN = min(cfg.voronoi_neighbors, C - 1)
-    cell_planes, cell_pmask = _cell_plane_sets(seeds, kN, extent, bb_center)
+    cell_planes, cell_pmask = _cell_plane_sets(
+        seeds, kN, extent, bb_center, exact_topk=cfg.voronoi_exact_topk
+    )
 
     # 9. Impact fracture patterns, cached in unit space (Surtr.cpp:1806-1807).
     # Radial clouds are extremely clustered: use all-pairs bisectors (k=None),
@@ -438,8 +444,7 @@ def prepare_fracture(
     cand_ok = jnp.ones((C,), bool)
     if cfg.max_islands > 1 and cfg.island_pool > 0:
         mmask0, x_cand, x_mmask, x_valid = _split_mesh_islands(
-            conv, mtris, mmask, cell_planes, cell_pmask, solid_t, solid_m,
-            mas, cfg,
+            conv, mtris, mmask, solid_t, solid_m, mas, cfg,
         )
         g = lambda a: a[x_cand]
         conv = jax.tree_util.tree_map(
@@ -666,7 +671,6 @@ def do_fracture(
     if cfg.max_islands > 1 and cfg.island_pool > 0:
         mmask0, x_cand, x_mmask, x_valid = _split_mesh_islands(
             conv, mtris, mmask,
-            cells.planes[cell_of], cells.face_mask()[cell_of],
             src_mesh[src_of], src_mmask[src_of], mas, cfg,
         )
         conv = jax.tree_util.tree_map(
@@ -881,9 +885,16 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
 
     # New group id: keep each component in its own compound; preserve the
     # original group id of the component's representative for stability.
+    # Dense-renumber the incoming ids FIRST: post-fracture provisional ids
+    # reach ~P·C, so (group·P + comp) would overflow int32 for large piece
+    # pools; after renumbering the pairing is bounded by P² (safe to
+    # P ≈ 46k).
+    g = _dense_renumber(
+        jnp.where(pieces.valid, pieces.group, -1), pieces.valid
+    )
     new_group = jnp.where(
         pieces.valid,
-        pieces.group * P + jnp.where(comp < P, comp, 0),
+        g * P + jnp.where(comp < P, comp, 0),
         -1,
     )
     # Dense renumber.

@@ -115,78 +115,135 @@ def _clip_kernel(
             dn = nxt(dist)
 
             kept = m & (dist <= tol)
-            cross = m & (
-                ((dist < -tol) & (dn > tol)) | ((dist > tol) & (dn < -tol))
-            )
             denom = dn - dist
             safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
             pcx = (fvx * dn - vnx * dist) / safe
             pcy = (fvy * dn - vny * dist) / safe
             pcz = (fvz * dn - vnz * dist) / safe
 
-            # --- Sutherland–Hodgman stream: per slot, the kept vertex
-            # precedes the crossing point. Output positions are computed
-            # arithmetically (an interleaved 2S stream via stack+reshape
-            # does not lower in Mosaic — "invalid vector register cast" on
-            # the sublane interleave).
-            kc = kept.astype(jnp.int32)
-            cc = cross.astype(jnp.int32)
-            tot = _cumsum1(kc + cc)                              # (F,S,BN)
-            before = tot - kc - cc                               # exclusive
-            pos_k = before + 1                                   # 1-based
-            pos_c = before + kc + 1
-            # Last cumsum element == max (monotone); negative indexing
-            # lowers to dynamic_slice, unimplemented on arrays in Mosaic.
-            n_out = jnp.minimum(jnp.max(tot, axis=1), S)         # (F,BN)
+            # --- Cyclic-run emission (convex-specific Sutherland–Hodgman).
+            # A plane cuts a CONVEX face loop in at most two edges: the kept
+            # vertices form one contiguous cyclic run, the exit crossing
+            # (kept→removed edge) follows the run, the enter crossing
+            # (removed→kept edge) precedes it. Output (a valid rotation of
+            # the stream the XLA fold emits): [v_a … v_b, exit, enter].
+            # This replaces the O(S²) one-hot compaction with one masked
+            # reduction per quantity + a log-step barrel rotation.
+            cross_exit = m & (dist < -tol) & (dn > tol)
+            cross_enter = m & (dist > tol) & (dn < -tol)
+            f_ex = cross_exit.astype(f32)
+            f_en = cross_enter.astype(f32)
+            exit_x = jnp.sum(f_ex * pcx, axis=1)                 # (F,BN)
+            exit_y = jnp.sum(f_ex * pcy, axis=1)
+            exit_z = jnp.sum(f_ex * pcz, axis=1)
+            enter_x = jnp.sum(f_en * pcx, axis=1)
+            enter_y = jnp.sum(f_en * pcy, axis=1)
+            enter_z = jnp.sum(f_en * pcz, axis=1)
+            has_exit = jnp.any(cross_exit, axis=1)               # (F,BN)
+            has_enter = jnp.any(cross_enter, axis=1)
+            ex_i = has_exit.astype(jnp.int32)
+            en_i = has_enter.astype(jnp.int32)
 
-            outx, outy, outz = [], [], []
-            for j in range(S):
-                selk = (kept & (pos_k == j + 1)).astype(f32)
-                selc = (cross & (pos_c == j + 1)).astype(f32)
-                outx.append(jnp.sum(selk * fvx + selc * pcx, axis=1))
-                outy.append(jnp.sum(selk * fvy + selc * pcy, axis=1))
-                outz.append(jnp.sum(selk * fvz + selc * pcz, axis=1))
-            out_fvx = jnp.stack(outx, axis=1)                    # (F,S,BN)
-            out_fvy = jnp.stack(outy, axis=1)
-            out_fvz = jnp.stack(outz, axis=1)
+            # Run start a = the kept vertex whose cyclic predecessor is
+            # removed (unique for a convex cut; 0 when the face is intact).
+            kept_i = kept.astype(jnp.int32)
+            kprev_last = jnp.sum(
+                jnp.where(is_last, kept_i, 0), axis=1
+            )                                                    # kept[nv-1]
+            kprev = jnp.concatenate(
+                [kprev_last[:, None, :], kept_i[:, :-1, :]], axis=1
+            )
+            startm = kept & (kprev == 0)
+            a = jnp.sum(jnp.where(startm, slot, 0), axis=1)      # (F,BN)
+            mcnt = jnp.sum(kept_i, axis=1)
+
+            # rot[j] = fv[(a+j) mod nv]: a left barrel shift by a for
+            # j < nv−a, a right barrel shift by nv−a for the wrapped tail.
+            b_amt = jnp.where(a > 0, nv - a, 0)
+
+            def rotate(x):
+                xl = x
+                xr = x
+                t = 1
+                while t < S:
+                    bit_l = ((a3 // t) % 2) > 0
+                    moved_l = jnp.concatenate(
+                        [xl[:, t:, :], jnp.zeros((F, t, BN), x.dtype)], axis=1
+                    )
+                    xl = jnp.where(bit_l, moved_l, xl)
+                    bit_r = ((b3 // t) % 2) > 0
+                    moved_r = jnp.concatenate(
+                        [jnp.zeros((F, t, BN), x.dtype), xr[:, : S - t, :]],
+                        axis=1,
+                    )
+                    xr = jnp.where(bit_r, moved_r, xr)
+                    t *= 2
+                return jnp.where(slot < b_amt[:, None, :], xl, xr)
+
+            a3 = a[:, None, :]
+            b3 = b_amt[:, None, :]
+            rotx, roty, rotz = rotate(fvx), rotate(fvy), rotate(fvz)
+
+            in_run = slot < mcnt[:, None, :]
+            at_exit = (slot == mcnt[:, None, :]) & has_exit[:, None, :]
+            at_enter = (
+                slot == (mcnt + ex_i)[:, None, :]
+            ) & has_enter[:, None, :]
+
+            def emit(rot, epx, enx):
+                return jnp.where(
+                    in_run,
+                    rot,
+                    jnp.where(
+                        at_exit,
+                        epx[:, None, :],
+                        jnp.where(at_enter, enx[:, None, :], 0.0),
+                    ),
+                )
+
+            out_fvx = emit(rotx, exit_x, enter_x)
+            out_fvy = emit(roty, exit_y, enter_y)
+            out_fvz = emit(rotz, exit_z, enter_z)
+            n_out = jnp.minimum(mcnt + ex_i + en_i, S)
             new_nv = jnp.where(n_out >= 3, n_out, 0)
 
-            # --- cap candidates: crossings + in-plane verts of touched
-            # faces.
+            # --- cap candidates: the two crossings + in-plane verts of
+            # touched faces. A convex cut's in-plane vertices sit at the
+            # two ends of the kept run (an edge exactly in the plane gives
+            # two), so the per-face pool [enter, exit, first in-plane,
+            # last in-plane] is complete — no compaction loop needed.
             face_touched = jnp.any(removed, axis=1)              # (F,BN)
             inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None, :]
-            any_removed = jnp.any(
-                jnp.any(removed, axis=1), axis=0
-            )                                                    # (BN,)
-            ci = inplane & any_removed[None, None, :]
-            cx2 = cross & any_removed[None, None, :]
+            fslot = jnp.min(jnp.where(inplane, slot, S), axis=1) # (F,BN)
+            lslot = jnp.max(jnp.where(inplane, slot, -1), axis=1)
+            fsel = (inplane & (slot == fslot[:, None, :])).astype(f32)
+            lsel = (inplane & (slot == lslot[:, None, :])).astype(f32)
+            ip_x = jnp.sum(fsel * fvx, axis=1)
+            ip_y = jnp.sum(fsel * fvy, axis=1)
+            ip_z = jnp.sum(fsel * fvz, axis=1)
+            has_ip = (fslot < S).astype(jnp.int32)
+            ip2_x = jnp.sum(lsel * fvx, axis=1)
+            ip2_y = jnp.sum(lsel * fvy, axis=1)
+            ip2_z = jnp.sum(lsel * fvz, axis=1)
+            has_ip2 = (lslot > fslot).astype(jnp.int32)
 
-            # Per-face pool of CAPS candidates (parity with ops.clip truncation);
-            # per slot the in-plane vertex precedes the crossing point.
-            cic = ci.astype(jnp.int32)
-            cxc = cx2.astype(jnp.int32)
-            ctot = _cumsum1(cic + cxc)                               # (F,S,BN)
-            cbefore = ctot - cic - cxc
-            cpos_i = cbefore + 1
-            cpos_c = cbefore + cic + 1
-            poolx, pooly, poolz, poolm = [], [], [], []
-            for j in range(CAPS):
-                sel_ib = ci & (cpos_i == j + 1)
-                sel_cb = cx2 & (cpos_c == j + 1)
-                sel_i = sel_ib.astype(f32)
-                sel_c = sel_cb.astype(f32)
-                poolx.append(jnp.sum(sel_i * fvx + sel_c * pcx, axis=1))
-                pooly.append(jnp.sum(sel_i * fvy + sel_c * pcy, axis=1))
-                poolz.append(jnp.sum(sel_i * fvz + sel_c * pcz, axis=1))
-                # int32, not bool: Mosaic cannot relayout i1 vectors through
-                # the stack+reshape below ("invalid vector register cast").
-                poolm.append(jnp.any(sel_ib | sel_cb, axis=1).astype(jnp.int32))
-            # Flatten (F, CAPS) → (F*CAPS,) then compact across faces to 2S slots.
-            px = jnp.stack(poolx, axis=1).reshape(F * CAPS, BN)
-            py = jnp.stack(pooly, axis=1).reshape(F * CAPS, BN)
-            pz = jnp.stack(poolz, axis=1).reshape(F * CAPS, BN)
-            pm = jnp.stack(poolm, axis=1).reshape(F * CAPS, BN) > 0
-            gpos = _cumsum1(pm.astype(jnp.int32)[:, None, :].reshape(1, F * CAPS, BN))[0]
+            # Flatten (F, 4) → (F·4,) then compact across faces to 2S
+            # slots. int32 masks, not bool: Mosaic cannot relayout i1
+            # vectors through the stack+reshape.
+            CK = 4
+            px = jnp.stack([enter_x, exit_x, ip_x, ip2_x], axis=1).reshape(
+                F * CK, BN
+            )
+            py = jnp.stack([enter_y, exit_y, ip_y, ip2_y], axis=1).reshape(
+                F * CK, BN
+            )
+            pz = jnp.stack([enter_z, exit_z, ip_z, ip2_z], axis=1).reshape(
+                F * CK, BN
+            )
+            pm = jnp.stack([en_i, ex_i, has_ip, has_ip2], axis=1).reshape(
+                F * CK, BN
+            ) > 0
+            gpos = _cumsum1(pm.astype(jnp.int32)[:, None, :].reshape(1, F * CK, BN))[0]
             cnt = jnp.minimum(jnp.max(gpos, axis=0), 2 * S)          # (BN,)
             # One-hot gather into the 2S-slot pool (vectorized, (2S, F*CAPS, BN)).
             selp = (pm & (gpos[None] == pool_iota[:, None, :] + 1)).astype(f32)

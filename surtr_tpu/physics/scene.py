@@ -81,6 +81,11 @@ def _edge_dirs(poly_fv: jax.Array, nv: jax.Array, Ne: int):
     canonical sign, (Ne,) mask). Feeds the SAT edge-cross axes — the axis
     family PhysX covers via full convex-convex SAT (no reference source;
     SURVEY §7 hard-part 5)."""
+    if Ne == 0:  # edge axes disabled (config.max_edge_dirs=0)
+        return (
+            jnp.zeros((0, 3), poly_fv.dtype),
+            jnp.zeros((0,), bool),
+        )
     F, S = poly_fv.shape[0], poly_fv.shape[1]
     slot = jnp.arange(S, dtype=jnp.int32)
     m = slot[None, :] < nv[:, None]

@@ -163,11 +163,13 @@ def _broadphase_sorted(centers, lo, hi, owner, valid, K, window):
     )                                                # (Np, K) sorted idx
     part_orig = order[part_rank]                     # (Np, K) original idx
     pok_s = neg > -BIG / 2
+    delta_s = part_rank - r[:, None]                 # sorted-rank deltas ≤ W
 
-    # Back to original piece order.
+    # Back to original piece order. (order/inv/delta_s stay in sorted
+    # space — the banded solver re-permutes its inputs with them.)
     pidx = part_orig[inv]
     pok = pok_s[inv]
-    return pidx, pok
+    return pidx, pok, order, inv, delta_s
 
 
 # ---------------------------------------------------------------------------
@@ -262,8 +264,13 @@ def physics_step(
         return _stage_out(scene, centers, lo_dop, hi_dop)
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
-    if cfg.broadphase == "sorted":
-        pidx, pok = _broadphase_sorted(
+    # "auto": exact all-pairs while the pool fits one sweep block (cheap and
+    # free of the Morton-window locality approximation), sorted above it.
+    bp_mode = cfg.broadphase
+    if bp_mode == "auto":
+        bp_mode = "exact" if Np <= cfg.broadphase_block else "sorted"
+    if bp_mode == "sorted":
+        pidx, pok, bp_order, bp_inv, bp_delta = _broadphase_sorted(
             centers, lo, hi, scene.piece_owner, pvalid, K,
             cfg.broadphase_window,
         )
@@ -272,6 +279,7 @@ def physics_step(
             centers, lo, hi, scene.piece_owner, pvalid, K,
             cfg.broadphase_block,
         )
+        bp_order = bp_inv = bp_delta = None
     partner_lists = pidx[pidx]                     # (Np, K, K)
     me = jnp.arange(Np, dtype=jnp.int32)[:, None, None]
     mutual = jnp.any(partner_lists == me, axis=-1)
@@ -576,6 +584,60 @@ def physics_step(
     from surtr_tpu.ops.clip_pallas import _target_is_tpu
 
     on_tpu = _target_is_tpu()
+    if (
+        single
+        and cfg.banded_solver
+        and bp_order is not None
+        and (on_tpu or cfg.force_pallas_solver)
+    ):
+        # Banded-Morton fused solver: ALL iterations in one launch. Permute
+        # every solver input into Morton-sorted row order with ONE packed
+        # gather (per-row overhead dominates gather cost on this backend —
+        # lanes are nearly free), solve, and un-permute the (Np, 8) result.
+        from surtr_tpu.physics.solver_banded import solve_contacts_banded
+
+        f32 = wverts.dtype
+        mega = jnp.concatenate(
+            [
+                rA.reshape(Np, -1), rB.reshape(Np, -1), nrm.reshape(Np, -1),
+                m_eff, target, hit.astype(f32), is_static.astype(f32),
+                v0, w0, inv_m[:, None], split_body[:, None],
+                inv_I.reshape(Np, 9),
+            ],
+            axis=1,
+        )[bp_order]
+        o = 0
+
+        def take(n):
+            nonlocal o
+            part = mega[:, o : o + n]
+            o += n
+            return part
+
+        rA_s = take(3 * C).reshape(Np, C, 3)
+        rB_s = take(3 * C).reshape(Np, C, 3)
+        nrm_s = take(3 * C).reshape(Np, C, 3)
+        meff_s, targ_s = take(C), take(C)
+        hit_s, stat_s = take(C) > 0.5, take(C) > 0.5
+        v0_s, w0_s = take(3), take(3)
+        invm_s, split_s = take(1)[:, 0], take(1)[:, 0]
+        invI_s = take(9).reshape(Np, 3, 3)
+
+        v1_s, w1_s = solve_contacts_banded(
+            v0_s, w0_s, bp_delta, rA_s, rB_s, nrm_s, meff_s, targ_s,
+            hit_s, stat_s, invm_s, split_s, invI_s,
+            K=K, M=M, G=G, iters=cfg.solver_iters,
+            substeps=max(1, cfg.solver_substeps), mu=mu,
+            window=cfg.broadphase_window,
+            gauss_seidel=cfg.solver_gauss_seidel,
+            interpret=not on_tpu,
+        )
+        vw1 = jnp.concatenate([v1_s, w1_s], axis=1)[bp_inv]
+        return _finish_step(
+            scene, bodies, vw1[:, 0:3], vw1[:, 3:6], dt, cfg, profile_stage,
+            vn0, hit, is_static, single, myb,
+        )
+
     if single and (on_tpu or cfg.force_pallas_solver):
         # Fused Pallas iteration: one kernel per iteration instead of ~25
         # XLA ops (per-op overhead dominated the solver at 10k bodies).

@@ -277,7 +277,6 @@ def render_scene(
     depth, tid2 = raster_screen(sx, sy, sz, ok2, W, H)
     hit = tid2 >= 0
     t2 = jnp.clip(tid2, 0, 2 * T - 1)
-    torig = t2 % T
 
     # Per-tri attributes in the 2T domain, fetched with ONE packed gather
     # (separate row gathers cost ~ms each on this backend).

@@ -79,3 +79,53 @@ def test_pallas_masked_planes_are_noops():
     )
     v, _ = moments(out)
     np.testing.assert_allclose(np.asarray(v), 1.0, atol=1e-5)
+
+
+def test_pallas_degenerate_inplane_cuts():
+    """Adversarial cases for the cyclic-run kernel: planes passing exactly
+    through cube vertices/edges (in-plane candidates), tangent planes, and
+    face-coplanar planes must match the XLA fold's volumes."""
+    F, S = 32, 16
+    base = unit_cube(F=F, S=S)
+    cases = [
+        # diagonal plane through two full edges (4 in-plane verts)
+        [[1.0, 1.0, 0.0, 0.0]],
+        # plane exactly through one vertex
+        [[1.0, 1.0, 1.0, -1.5 * 0.5]],
+        # face-coplanar plane (no-op, all kept, face in-plane)
+        [[1.0, 0.0, 0.0, -0.5]],
+        # tangent from outside (kills nothing)
+        [[1.0, 0.0, 0.0, -0.7]],
+        # successive diagonal cuts hitting earlier cap faces through verts
+        [[1.0, 1.0, 0.0, 0.0], [0.0, 1.0, 1.0, 0.0], [1.0, 0.0, 1.0, 0.0]],
+        # thin sliver: two nearly-parallel cuts
+        [[1.0, 0.0, 0.0, -0.01], [-1.0, 0.0, 0.0, -0.01]],
+        # cut that empties the polytope
+        [[1.0, 0.0, 0.0, 0.6]],
+    ]
+    K = max(len(c) for c in cases)
+    N = len(cases)
+    planes = np.zeros((N, K, 4), np.float32)
+    mask = np.zeros((N, K), bool)
+    for i, c in enumerate(cases):
+        for j, p in enumerate(c):
+            n = np.asarray(p[:3], np.float32)
+            ln = np.linalg.norm(n)
+            planes[i, j, :3] = n / ln
+            planes[i, j, 3] = p[3] / ln
+            mask[i, j] = True
+    polys = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (N,) + a.shape), base
+    )
+    planes = jnp.asarray(planes)
+    mask = jnp.asarray(mask)
+    ref = jax.vmap(lambda p, pls, pm: clip_poly_planes(p, pls, pm))(
+        polys, planes, mask
+    )
+    out = clip_planes_batch_pallas(polys, planes, mask, interpret=True, block=8)
+    vr, _ = moments(ref)
+    vo, _ = moments(out)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vo), atol=3e-6)
+    assert np.array_equal(
+        np.asarray(ref.is_empty()), np.asarray(out.is_empty())
+    )

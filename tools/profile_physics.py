@@ -45,7 +45,13 @@ def make_scene(n=10_000):
     from surtr_tpu.physics.scene import build_scene
     from surtr_tpu.types import ConvexPoly, unit_cube
 
-    pcfg = PhysicsConfig(single_piece_bodies=True, max_hull_verts=32)
+    pcfg = PhysicsConfig(
+        single_piece_bodies=True,
+        max_hull_verts=32,
+        banded_solver=os.environ.get("SURTR_BANDED", "1") != "0",
+        solver_gauss_seidel=os.environ.get("SURTR_GS", "0") != "0",
+        broadphase=os.environ.get("SURTR_BP", "auto"),
+    )
     side = int(round(n ** (1 / 3)))
     while side * side * side < n:
         side += 1
