@@ -96,6 +96,14 @@ class PhysicsConfig:
     solver_iters: int = 8          # projected-impulse iterations (stacking
                                    # verified stable at 8; PhysX defaults to
                                    # 4+1 — Jacobi needs a few more)
+    # NOTE: PGS warm starting (PhysX persistent-manifold analogue) was
+    # prototyped in round 3 and REJECTED: accumulated-impulse iterations are
+    # only stable under this Jacobi + mass-splitting + chaotic-substep
+    # scheme at solver_substeps=1 (which doubles launches, cancelling the
+    # saved iterations), and the warm pre-apply itself adds 0.04-0.25 m of
+    # lateral stack drift over 5 s from manifold-slot re-matching noise.
+    # True warm starting needs a sequential (Gauss-Seidel) sweep. See
+    # ROADMAP.
     solver_substeps: int = 2       # impulse updates per partner-velocity
                                    # refresh (chaotic-relaxation Jacobi:
                                    # own-body state updates every substep,
@@ -126,13 +134,18 @@ class PhysicsConfig:
                                    # run the fused Pallas solver even off-TPU
                                    # (interpret mode) — used by tests to
                                    # check parity with the XLA solver
-    banded_solver: bool = True     # single launch for ALL solver iterations:
+    banded_solver: bool = False    # single launch for ALL solver iterations:
                                    # contacts permuted into Morton-sorted
                                    # order (broadphase="sorted" only) where
                                    # partner rows sit within ±window — the
                                    # per-iteration XLA partner gather becomes
                                    # an in-kernel one-hot MXU select
-                                   # (physics/solver_banded.py)
+                                   # (physics/solver_banded.py). OFF: round-3
+                                   # measurement shows the in-kernel one-hot
+                                   # reconstruction (8 narrow matmuls/block)
+                                   # plus the input permute gather costs MORE
+                                   # than the per-iteration gathers it saves
+                                   # (solver 16.7 ms vs 10 ms at 10k)
     solver_gauss_seidel: bool = False
                                    # banded solver: let later Morton blocks
                                    # see earlier blocks' updates within one

@@ -93,7 +93,11 @@ def _morton(centers, valid):
     big = jnp.asarray(BIG, centers.dtype)
     lo = jnp.min(jnp.where(valid[:, None], centers, big), axis=0)
     hi = jnp.max(jnp.where(valid[:, None], centers, -big), axis=0)
-    ext = jnp.maximum(hi - lo, 1e-6)
+    # UNIFORM scale across axes: per-axis normalization makes tiny jitters
+    # along a thin axis dominate the interleaved bits and destroys Morton
+    # locality on anisotropic scenes (a flat 10k pile measured 63% missed
+    # pairs per-axis vs 22% uniform at window=32).
+    ext = jnp.maximum(jnp.max(hi - lo), 1e-6)
     q = jnp.clip(
         ((centers - lo) / ext * 1023.0).astype(jnp.int32), 0, 1023
     )  # (Np, 3)
@@ -580,7 +584,6 @@ def physics_step(
     sA = (split_body[myb] if not single else split_body)[:, None, None]
 
     mu = cfg.dynamic_friction
-
     from surtr_tpu.ops.clip_pallas import _target_is_tpu
 
     on_tpu = _target_is_tpu()
