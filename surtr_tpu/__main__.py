@@ -26,6 +26,27 @@ def parse_impact(spec: str):
     return origin, direction, int(step)
 
 
+def camera_eye(spec: str, step: int, total_steps: int):
+    """Eye position at ``step`` along a --camera path ('fixed',
+    'orbit[:R,H,PERIOD_S]', 'fly:X0,Y0,Z0:X1,Y1,Z1') — the headless
+    counterpart of the reference's fly/orbit camera (Surtr.cpp:262-283)."""
+    import numpy as np
+
+    if spec.startswith("orbit"):
+        r, h, period = 11.0, 6.5, 6.0
+        if ":" in spec:
+            r, h, period = (float(v) for v in spec.split(":")[1].split(","))
+        ang = 2.0 * np.pi * (step / 120.0) / period
+        return (r * np.cos(ang), h, r * np.sin(ang))
+    if spec.startswith("fly:"):
+        _, a, b = spec.split(":")
+        p0 = np.asarray([float(v) for v in a.split(",")])
+        p1 = np.asarray([float(v) for v in b.split(",")])
+        t = step / max(total_steps - 1, 1)
+        return tuple(p0 + (p1 - p0) * t)
+    return (8.0, 6.0, 8.0)
+
+
 def save_ppm(path, img):
     import numpy as np
 
@@ -51,6 +72,13 @@ def main(argv=None):
     p.add_argument("--shadow", type=int, default=1024)
     p.add_argument("--frames", default="",
                    help="directory for rendered .ppm frames (every 10 steps)")
+    p.add_argument("--camera", default="fixed",
+                   help="camera path for frame dumps: 'fixed', "
+                        "'orbit[:RADIUS,HEIGHT,PERIOD_S]' (circle the scene "
+                        "center, the reference's orbit camera, "
+                        "Surtr.cpp:262-283), or "
+                        "'fly:X0,Y0,Z0:X1,Y1,Z1' (linear eye path over the "
+                        "run)")
     p.add_argument("--save", default="", help="final state snapshot (.npz)")
     p.add_argument("--trajectory", default="",
                    help="write body trajectories to .npz")
@@ -115,7 +143,10 @@ def main(argv=None):
         if args.trajectory:
             traj.append(np.asarray(sc.phys.bodies.x))
         if args.frames and args.size and step % 10 == 0:
-            save_ppm(os.path.join(args.frames, f"f{frame_id:04d}.ppm"), sc.render())
+            save_ppm(
+                os.path.join(args.frames, f"f{frame_id:04d}.ppm"),
+                sc.render(eye=camera_eye(args.camera, step, args.steps)),
+            )
             frame_id += 1
 
     if args.save:

@@ -57,6 +57,10 @@ class FractureConfig:
                                  # per-candidate slot doubling wasted 2× the
                                  # whole pipeline; 0 disables splitting)
     island_label_iters: int = 12 # label-propagation rounds per labeling
+    island_voxel_res: int = 6    # per-axis resolution of the island-merge
+                                 # voxel connectivity grid (material paths
+                                 # around bends — PARITY.md divergence 3);
+                                 # 0 falls back to segment probes only
 
     exact_face_overlap: bool = False
                                  # HandleConvexIsland contact test: False =
@@ -134,6 +138,15 @@ class PhysicsConfig:
                                    # run the fused Pallas solver even off-TPU
                                    # (interpret mode) — used by tests to
                                    # check parity with the XLA solver
+    pallas_narrowphase: bool = True
+                                   # TPU: fused Pallas SAT+manifold kernel
+                                   # (physics/narrowphase_pallas.py) — the
+                                   # XLA path streams ~330 MB of (Np,K,Vh,F)
+                                   # distance tensors through HBM per step
+                                   # at 10k pieces
+    force_pallas_narrowphase: bool = False
+                                   # run the Pallas narrowphase off-TPU
+                                   # (interpret mode) — parity tests
     banded_solver: bool = False    # single launch for ALL solver iterations:
                                    # contacts permuted into Morton-sorted
                                    # order (broadphase="sorted" only) where

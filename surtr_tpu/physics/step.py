@@ -296,6 +296,50 @@ def physics_step(
     # Gather-count discipline: ONE packed gather brings every per-partner
     # table; the i-side needs no gather (broadcast along K).
     nEd = max(Ne, 0)
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+
+    on_tpu = _target_is_tpu()
+    if cfg.pallas_narrowphase and (on_tpu or cfg.force_pallas_narrowphase):
+        # Fused Pallas SAT + manifolds: the (Np, K, Vh, F) distance/support
+        # tensors never leave VMEM (the XLA path streams ~330 MB of them
+        # through HBM per step at 10k pieces). Planar packed layout.
+        f32d = wverts.dtype
+        parts_p = [
+            wverts[..., 0], wverts[..., 1], wverts[..., 2],
+            wmask.astype(f32d),
+            wplanes_n[..., 0], wplanes_n[..., 1], wplanes_n[..., 2],
+            wplanes_d,
+            scene.piece_pmask.astype(f32d),
+            lo_dop, hi_dop,
+        ]
+        if nEd:
+            parts_p += [
+                wedges[..., 0], wedges[..., 1], wedges[..., 2],
+                scene.piece_emask.astype(f32d),
+            ]
+        packed_p = jnp.concatenate(parts_p, axis=1)            # (Np, D)
+        Dp_ = packed_p.shape[1]
+        pjf = packed_p[pidx].reshape(Np, K * Dp_)
+        from surtr_tpu.physics.narrowphase_pallas import (
+            narrowphase_pairs_pallas,
+        )
+
+        pc_n, _depth, _pair_hit, pc_p, mvals_t, pc_hit = (
+            narrowphase_pairs_pallas(
+                packed_p, pjf, pok,
+                Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
+                interpret=not on_tpu,
+            )
+        )
+        pc_d = jnp.maximum(mvals_t, 0.0)
+        pc_nrm = jnp.tile(pc_n, (1, M, 1))
+        pc_partner = jnp.tile(pidx, (1, M))
+        return _assemble_and_solve(
+            scene, cfg, profile_stage, bodies, Np, B, K, G, M, C, single,
+            wverts, wmask, owner, pvalid, x_own, pidx, pok,
+            bp_order, bp_inv, bp_delta,
+            pc_p, pc_d, pc_hit, pc_nrm, pc_partner, on_tpu,
+        )
     parts = [
         wverts.reshape(Np, Vh * 3),
         wmask.astype(wverts.dtype),
@@ -473,6 +517,24 @@ def physics_step(
     pc_nrm = jnp.tile(pc_n, (1, M, 1))
     pc_partner = jnp.tile(pidx, (1, M))
 
+    return _assemble_and_solve(
+        scene, cfg, profile_stage, bodies, Np, B, K, G, M, C, single,
+        wverts, wmask, owner, pvalid, x_own, pidx, pok,
+        bp_order, bp_inv, bp_delta,
+        pc_p, pc_d, pc_hit, pc_nrm, pc_partner, on_tpu,
+    )
+
+
+def _assemble_and_solve(
+    scene, cfg, profile_stage, bodies, Np, B, K, G, M, C, single,
+    wverts, wmask, owner, pvalid, x_own, pidx, pok,
+    bp_order, bp_inv, bp_delta,
+    pc_p, pc_d, pc_hit, pc_nrm, pc_partner, on_tpu,
+):
+    """Stages 3c-4, shared by the XLA and Pallas narrowphase paths:
+    ground contacts, (Np, C) slot assembly, sleeping, the solver dispatch."""
+    dt = cfg.dt
+    big = jnp.asarray(BIG, wverts.dtype)
     # --- 3c. ground contacts: deepest G verts below y = ground_y.
     depth_v = cfg.ground_y - wverts[..., 1]
     below = wmask & (depth_v > -cfg.contact_slop)
@@ -584,9 +646,6 @@ def physics_step(
     sA = (split_body[myb] if not single else split_body)[:, None, None]
 
     mu = cfg.dynamic_friction
-    from surtr_tpu.ops.clip_pallas import _target_is_tpu
-
-    on_tpu = _target_is_tpu()
     if (
         single
         and cfg.banded_solver

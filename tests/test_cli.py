@@ -30,6 +30,7 @@ def test_cli_tiny_end_to_end(tmp_path, capsys):
         "--size", "64",
         "--shadow", "64",
         "--frames", str(frames),
+        "--camera", "orbit:10,6,2",
         "--save", str(snap),
         "--trajectory", str(traj),
     ])
@@ -46,3 +47,20 @@ def test_cli_tiny_end_to_end(tmp_path, capsys):
     assert len(os.listdir(frames)) >= 2
     t = np.load(traj)["x"]
     assert t.shape[0] == 25
+
+
+def test_cli_camera_paths():
+    import numpy as np
+
+    from surtr_tpu.__main__ import camera_eye
+
+    assert camera_eye("fly:0,1,2:6,1,2", 0, 11) == (0.0, 1.0, 2.0)
+    assert camera_eye("fly:0,1,2:6,1,2", 10, 11) == (6.0, 1.0, 2.0)
+    e0 = np.asarray(camera_eye("orbit:10,6,2", 0, 240))
+    e60 = np.asarray(camera_eye("orbit:10,6,2", 60, 240))
+    # same radius and height, rotated quarter turn after period/4
+    assert np.isclose(np.hypot(e0[0], e0[2]), 10.0)
+    assert np.isclose(np.hypot(e60[0], e60[2]), 10.0)
+    assert e0[1] == 6.0 and e60[1] == 6.0
+    assert np.isclose(np.dot(e0[[0, 2]], e60[[0, 2]]), 0.0, atol=1e-5)
+    assert camera_eye("fixed", 5, 10) == (8.0, 6.0, 8.0)

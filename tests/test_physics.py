@@ -237,3 +237,50 @@ def test_body_sleeping_and_wake():
     ys = np.asarray(s2.bodies.x[:, 1])
     assert abs(ys[0] + 1.5) < 0.06, ys
     assert abs(ys[1] + 0.5) < 0.12, ys
+
+
+def test_pallas_narrowphase_matches_xla():
+    """The fused Pallas SAT+manifold kernel must reproduce the XLA
+    narrowphase. Compared STEPWISE from the same evolving state: long
+    joint trajectories eventually diverge on measure-zero SAT-axis ties
+    (different fp summation order flips a tie-break), which is not a
+    correctness signal."""
+    import dataclasses
+
+    # Jittered, tie-free poses: exactly axis-aligned cube pairs tie many
+    # SAT axes at the same penetration and the first-of-ties pick then
+    # depends on fp summation order.
+    offsets = [
+        [0.013, -1.45, 0.007],
+        [0.051, -0.38, -0.023],
+        [0.31, 0.67, 0.04],
+        [5.0, -1.4, 0.0],
+    ]
+    base = dataclasses.replace(PCFG, pallas_narrowphase=False)
+    forced = dataclasses.replace(
+        PCFG, pallas_narrowphase=True, force_pallas_narrowphase=True
+    )
+    s = build_scene(make_pieces(offsets, list(range(4))), base)
+    import dataclasses as dc
+
+    from surtr_tpu.physics.rigid import quat_normalize
+
+    key = jax.random.PRNGKey(3)
+    dq = 0.02 * jax.random.normal(key, (4, 4))
+    q = quat_normalize(s.bodies.q + dq)
+    s = dc.replace(s, bodies=dc.replace(s.bodies, q=q))
+    step_x = jax.jit(lambda s: physics_step(s, base))
+    step_p = jax.jit(lambda s: physics_step(s, forced))
+    for _ in range(30):
+        s_x = step_x(s)
+        s_p = step_p(s)
+        np.testing.assert_allclose(
+            np.asarray(s_p.bodies.v), np.asarray(s_x.bodies.v), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_p.bodies.w), np.asarray(s_x.bodies.w), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(s_p.bodies.x), np.asarray(s_x.bodies.x), atol=1e-6
+        )
+        s = s_x
