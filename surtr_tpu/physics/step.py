@@ -303,26 +303,27 @@ def physics_step(
         # Fused Pallas SAT + manifolds: the (Np, K, Vh, F) distance/support
         # tensors never leave VMEM (the XLA path streams ~330 MB of them
         # through HBM per step at 10k pieces). Planar packed layout.
+        from surtr_tpu.physics.narrowphase_pallas import (
+            narrowphase_pairs_pallas, pack_pieces,
+        )
+
         f32d = wverts.dtype
-        parts_p = [
-            wverts[..., 0], wverts[..., 1], wverts[..., 2],
-            wmask.astype(f32d),
-            wplanes_n[..., 0], wplanes_n[..., 1], wplanes_n[..., 2],
-            wplanes_d,
-            scene.piece_pmask.astype(f32d),
-            lo_dop, hi_dop,
-        ]
+        parts_p = dict(
+            wvx=wverts[..., 0], wvy=wverts[..., 1], wvz=wverts[..., 2],
+            wm=wmask.astype(f32d),
+            pnx=wplanes_n[..., 0], pny=wplanes_n[..., 1],
+            pnz=wplanes_n[..., 2], pd=wplanes_d,
+            pm=scene.piece_pmask.astype(f32d),
+            lod=lo_dop, hid=hi_dop,
+        )
         if nEd:
-            parts_p += [
-                wedges[..., 0], wedges[..., 1], wedges[..., 2],
-                scene.piece_emask.astype(f32d),
-            ]
-        packed_p = jnp.concatenate(parts_p, axis=1)            # (Np, D)
+            parts_p.update(
+                ex=wedges[..., 0], ey=wedges[..., 1], ez=wedges[..., 2],
+                em=scene.piece_emask.astype(f32d),
+            )
+        packed_p = pack_pieces(parts_p, Vh, Fp, nEd)           # (Np, D)
         Dp_ = packed_p.shape[1]
         pjf = packed_p[pidx].reshape(Np, K * Dp_)
-        from surtr_tpu.physics.narrowphase_pallas import (
-            narrowphase_pairs_pallas,
-        )
 
         pc_n, _depth, _pair_hit, pc_p, mvals_t, pc_hit = (
             narrowphase_pairs_pallas(

@@ -8,6 +8,7 @@ Host-side orchestration only; every hot operation is a jitted device call.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -120,6 +121,25 @@ class Scene:
         self.time += n * self.cfg.physics.dt
         return self
 
+    def interactive_frame(self, origin, direction, eye=(8.0, 6.0, 8.0),
+                          target=(0.0, 1.0, 0.0)):
+        """One fused impact→refracture→step→render dispatch (module-level
+        ``interactive_frame``); returns (image, fracture metrics)."""
+        pieces, phys, x0, img, met = interactive_frame(
+            self.pieces, self.phys, self._x0, self.ctx,
+            jnp.asarray(origin, jnp.float32),
+            jnp.asarray(direction, jnp.float32),
+            jnp.asarray(eye, jnp.float32),
+            jnp.asarray(target, jnp.float32),
+            cfg=self.cfg,
+        )
+        self.pieces, self.phys, self._x0 = pieces, phys, x0
+        self.time += self.cfg.physics.dt
+        self.events.append({"impact": np.asarray(met.get("impact", 0))
+                            if isinstance(met, dict) else None,
+                            "targets": "fused"})
+        return img, met
+
     # ------------------------------------------------------------------
     def world_pieces(self) -> PieceSet:
         """Pieces baked to current world coordinates."""
@@ -174,59 +194,16 @@ class Scene:
                highlight_last_impact=True):
         """Shadow-mapped frame of the current state (reference render passes,
         Surtr.cpp:370-664). Returns (H, W, 3) float image."""
-        from surtr_tpu.render.camera import light_view_proj, look_at, perspective
-        from surtr_tpu.render.raster import render_scene
-
-        rcfg = self.cfg.render
-        baked = self.world_pieces()
-        P, T = baked.P, baked.T
-        tris = baked.mesh.reshape(P * T, 3, 3)
-        tvalid = baked.mesh_valid.reshape(P * T)
-        # Ground plane (reference ground at y=-2, Surtr.cpp:1523-1528) as a
-        # single quad — the rasterizer near-clips partial triangles now.
-        gy = self.cfg.physics.ground_y
-        g = 48.0
-        ground = jnp.asarray(
-            np.asarray(
-                [
-                    [[-g, gy, -g], [-g, gy, g], [g, gy, g]],
-                    [[-g, gy, -g], [g, gy, g], [g, gy, -g]],
-                ],
-                np.float32,
-            )
-        )
-        ng = ground.shape[0]
-        tris = jnp.concatenate([tris, ground])
-        tvalid = jnp.concatenate([tvalid, jnp.ones(ng, bool)])
-        # Per-piece pseudo-random stone tint (reference default 0.25 gray).
-        pid = jnp.repeat(jnp.arange(P, dtype=jnp.uint32), T)
-        h = (pid * jnp.uint32(2654435761)) >> jnp.uint32(24)
-        tint = 0.38 + (h.astype(jnp.float32) / 255.0) * 0.22
-        colors = jnp.stack([tint, tint, tint], axis=-1)
-        # Debug coloring of the last impact's fragments (the reference's
-        # DebugValue red tint, Shader.hlsli:86-89).
-        if highlight_last_impact and self.events:
-            fresh = jnp.repeat(self.pieces.tag < 0, T) & jnp.repeat(
-                self.pieces.valid, T
-            )
-            red = jnp.stack(
-                [tint * 1.8 + 0.15, tint * 0.7, tint * 0.7], axis=-1
-            )
-            colors = jnp.where(fresh[:, None], red, colors)
-        gcol = jnp.full((ng, 3), 0.45, jnp.float32)
-        colors = jnp.concatenate([colors, gcol])
-
-        view = look_at(eye, target)
-        proj = perspective(rcfg.fov_deg, rcfg.width / rcfg.height,
-                           rcfg.z_near, rcfg.z_far)
-        lvp = light_view_proj(light_dir, (0.0, 1.0, 0.0), 14.0)
-        img, depth = render_scene(
-            tris, tvalid, colors, proj @ view, lvp,
+        return render_pieces_frame(
+            self.world_pieces(),
+            jnp.asarray(bool(highlight_last_impact and self.events)),
+            jnp.asarray(eye, jnp.float32),
+            jnp.asarray(target, jnp.float32),
             jnp.asarray(light_dir, jnp.float32),
-            W=rcfg.width, H=rcfg.height, shadow_size=rcfg.shadow_size,
-            cfg=rcfg, wireframe=wireframe,
+            rcfg=self.cfg.render,
+            ground_y=self.cfg.physics.ground_y,
+            wireframe=wireframe,
         )
-        return img
 
     # ------------------------------------------------------------------
     def fire_impact(self, origin, direction, partial: bool | None = None):
@@ -296,6 +273,136 @@ class Scene:
             "impact": np.asarray(impact),
             "metrics": metrics,
         }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rcfg", "ground_y", "wireframe")
+)
+def render_pieces_frame(
+    world: PieceSet, highlight, eye, target, light_dir,
+    rcfg, ground_y: float, wireframe: bool = False,
+):
+    """Shadow-mapped frame of world-space pieces — the jittable core of
+    ``Scene.render`` (reference passes, Surtr.cpp:370-664)."""
+    from surtr_tpu.render.camera import light_view_proj, look_at, perspective
+    from surtr_tpu.render.raster import render_scene
+
+    P, T = world.P, world.T
+    tris = world.mesh.reshape(P * T, 3, 3)
+    tvalid = world.mesh_valid.reshape(P * T)
+    # Ground plane (reference ground at y=-2, Surtr.cpp:1523-1528) as a
+    # single quad — the rasterizer near-clips partial triangles.
+    gy = ground_y
+    g = 48.0
+    ground = jnp.asarray(
+        [
+            [[-g, gy, -g], [-g, gy, g], [g, gy, g]],
+            [[-g, gy, -g], [g, gy, g], [g, gy, -g]],
+        ],
+        jnp.float32,
+    )
+    ng = ground.shape[0]
+    tris = jnp.concatenate([tris, ground])
+    tvalid = jnp.concatenate([tvalid, jnp.ones(ng, bool)])
+    # Per-piece pseudo-random stone tint (reference default 0.25 gray).
+    pid = jnp.repeat(jnp.arange(P, dtype=jnp.uint32), T)
+    h = (pid * jnp.uint32(2654435761)) >> jnp.uint32(24)
+    tint = 0.38 + (h.astype(jnp.float32) / 255.0) * 0.22
+    colors = jnp.stack([tint, tint, tint], axis=-1)
+    # Debug coloring of the last impact's fragments (the reference's
+    # DebugValue red tint, Shader.hlsli:86-89).
+    fresh = (
+        jnp.repeat(world.tag < 0, T)
+        & jnp.repeat(world.valid, T)
+        & highlight
+    )
+    red = jnp.stack([tint * 1.8 + 0.15, tint * 0.7, tint * 0.7], axis=-1)
+    colors = jnp.where(fresh[:, None], red, colors)
+    gcol = jnp.full((ng, 3), 0.45, jnp.float32)
+    colors = jnp.concatenate([colors, gcol])
+
+    view = look_at(eye, target)
+    proj = perspective(rcfg.fov_deg, rcfg.width / rcfg.height,
+                       rcfg.z_near, rcfg.z_far)
+    lvp = light_view_proj(light_dir, (0.0, 1.0, 0.0), 14.0)
+    img, _ = render_scene(
+        tris, tvalid, colors, proj @ view, lvp, light_dir,
+        W=rcfg.width, H=rcfg.height, shadow_size=rcfg.shadow_size,
+        cfg=rcfg, wireframe=wireframe,
+    )
+    return img
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def interactive_frame(
+    pieces: PieceSet, phys: PhysicsScene, x0, ctx, origin, direction,
+    eye, target, cfg: SceneConfig,
+):
+    """ONE fused dispatch for the full interactive loop: raycast impact →
+    radial target selection → bake → refracture → rigid-body rebuild with
+    velocity transfer → physics step → shadow-mapped render.
+
+    The reference's Tick is one loop (OnMouseDown → ExecuteFractureRoutine
+    → simulate → Render, Surtr.cpp:123-131, 178-254); this is its
+    single-dispatch TPU analogue (a ray that misses degrades to
+    step+render with an empty target mask).
+
+    Returns (pieces', phys', x0', img, metrics).
+    """
+    fcfg, pcfg = cfg.fracture, cfg.physics
+    direction = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-12)
+    pidx, t = raycast(phys, origin, direction)
+    hit = pidx >= 0
+    impact = origin + direction * (t + fcfg.target_adder)
+    B = phys.B
+
+    if fcfg.radial_mode:
+        ov = sphere_overlap(phys, impact, fcfg.impact_radius / 2.0)
+    else:
+        ov = jnp.arange(phys.Np) == jnp.clip(pidx, 0, phys.Np - 1)
+    own_ok = phys.piece_owner >= 0
+    bt = (
+        jax.ops.segment_max(
+            (ov & own_ok).astype(jnp.int32),
+            jnp.clip(phys.piece_owner, 0, B - 1),
+            num_segments=B,
+        )
+        > 0
+    )
+    # dynamic bodies only (mass filter, Surtr.cpp:226-233)
+    bt = bt & (phys.bodies.inv_mass > 0) & hit
+
+    baked = _bake_pieces(pieces, phys, x0)
+    baked = PieceSet(
+        convex=baked.convex,
+        mesh=baked.mesh,
+        mesh_valid=baked.mesh_valid,
+        valid=baked.valid,
+        group=baked.group,
+        tag=jnp.where(baked.valid, baked.group, -1),
+    )
+    tmask = (
+        baked.valid
+        & (baked.group >= 0)
+        & bt[jnp.clip(baked.group, 0, B - 1)]
+    )
+    pieces2, met = do_fracture(
+        baked, ctx, impact, tmask, fcfg, partial=fcfg.partial_fracture
+    )
+    phys2 = build_scene(pieces2, cfg.physics)
+    phys2 = _transfer_velocities(
+        phys2, phys, pieces2.group, pieces2.tag, pieces2.valid
+    )
+    x0_new = phys2.bodies.x
+    phys3 = physics_step(phys2, pcfg)
+
+    world = _bake_pieces(pieces2, phys3, x0_new)
+    img = render_pieces_frame(
+        world, jnp.asarray(True), eye, target,
+        jnp.asarray([-0.4, -1.0, -0.3], jnp.float32),
+        rcfg=cfg.render, ground_y=pcfg.ground_y,
+    )
+    return pieces2, phys3, x0_new, img, met
 
 
 @jax.jit

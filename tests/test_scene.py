@@ -86,3 +86,29 @@ def test_render_produces_geometry(scene):
     nonbg = (np.abs(img - bg).sum(-1) > 0.01).sum()
     assert nonbg > 96 * 96 * 0.2  # ground + cube cover a decent area
     assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_fused_interactive_frame():
+    """VERDICT r2 item 6: the whole interactive loop — raycast, radial
+    refracture, rebuild + velocity transfer, physics step, shadow-mapped
+    render — as ONE jitted dispatch (the reference's Tick is one loop,
+    Surtr.cpp:123-131)."""
+    import dataclasses
+
+    from surtr_tpu.config import RenderConfig
+
+    cfg = dataclasses.replace(
+        CFG, render=RenderConfig(width=48, height=48, shadow_size=32)
+    )
+    sc = Scene("cube", cfg)
+    n0 = sc.num_pieces()
+    v0 = sc.total_volume()
+    img, met = sc.interactive_frame((0.0, 10.0, 0.0), (0.0, -1.0, 0.0))
+    assert img.shape == (48, 48, 3)
+    assert sc.num_pieces() > n0          # the impact fractured the compound
+    assert abs(sc.total_volume() - v0) < 1e-2 * v0
+    # a missing ray degrades to step+render (no new pieces)
+    n1 = sc.num_pieces()
+    img2, _ = sc.interactive_frame((100.0, 50.0, 0.0), (0.0, 1.0, 0.0))
+    assert img2.shape == (48, 48, 3)
+    assert sc.num_pieces() == n1
