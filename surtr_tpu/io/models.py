@@ -174,3 +174,24 @@ def _torus(R: float = 1.2, r: float = 0.5, nu: int = 24, nv: int = 12):
             tris += [[a, b, d], [a, d, c]]
     v, f = weld(np.asarray(verts, np.float64), np.asarray(tris, np.int64))
     return v.astype(np.float32), f.astype(np.int32)
+
+
+def smooth_vertex_normals(verts, tris):
+    """Area-weighted per-vertex normals → per-corner (T, 3, 3) array.
+
+    The reference imports authored normals via Assimp
+    (/root/reference/Src/Surtr.cpp:2689-2694, Mesh.h VertexNormalColor);
+    procedural/OBJ loads without normals get the standard area-weighted
+    average here. Feed the result to ``render_scene(..., normals=...)``.
+    """
+    import numpy as np
+
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(tris, np.int64)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])
+    vn = np.zeros_like(v)
+    for c in range(3):
+        np.add.at(vn, f[:, c], fn)
+    ln = np.linalg.norm(vn, axis=1, keepdims=True)
+    vn = vn / np.maximum(ln, 1e-12)
+    return vn[f]

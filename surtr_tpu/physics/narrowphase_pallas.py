@@ -4,8 +4,14 @@ Replaces physics/step.py stages 3a/3b on TPU. The XLA version materializes
 (Np, K, Vh, F) signed-distance and support tensors in HBM (~330 MB each at
 10k pieces — the measured ~6.6 ms of the physics step is mostly this
 traffic); this kernel keeps every per-pair tensor in VMEM, streaming only
-the packed per-piece tables in and the (Np, K·{normal, depth, manifold})
-contact slots out.
+the packed per-piece tables in and per-pair contact slots out.
+
+Grid layout: ``(row blocks, K)`` — each grid step handles ONE pair slot of
+one row block, with the k-th partner rows streamed by the BlockSpec
+(k-unrolling the whole pair loop into the kernel body made the Mosaic
+program ~8x larger and pushed remote compiles past 10 minutes). The i-side
+block is revisited (constant index for consecutive k), so it is fetched
+once per row block.
 
 Semantics are identical to the XLA path (same axis families — 26-DOP
 intervals, faces of both hulls, edge×edge crosses — same deepest-first
@@ -13,15 +19,13 @@ M-point containment manifold with the support-point fallback, same
 first-of-ties selection), so the physics tests cover both backends via
 ``force_pallas_narrowphase``.
 
-Packed planar per-piece layout (built by ``pack_layout``/step.py):
-  nine 128-lane-ALIGNED fields [wvx, wvy, wvz, wmask, pnx, pny, pnz, pd,
-  pmask] — every field that feeds a (BN, ·, ·) broadcast must start at a
-  lane offset ≡ 0 mod 128, because Mosaic cannot reshape a lane-offset
-  vector to 3D ("Unsupported reshape ... vpad {0,110}") — followed by the
-  tight 2D-only tail [lo_dop (13), hi_dop (13), ex|ey|ez (Ne), emask (Ne)],
-  padded to a 128-multiple D so every k-major partner row realigns. The
-  partner table is the K-major concatenation of gathered rows (one packed
-  XLA gather, as before).
+Packed planar per-piece layout (``pack_layout``): nine 128-lane-ALIGNED
+fields [wvx, wvy, wvz, wmask, pnx, pny, pnz, pd, pmask] — every field that
+feeds a (BN, ·, ·) broadcast must start at lane offset ≡ 0 mod 128 because
+Mosaic cannot reshape a lane-offset vector to 3D — then the tight 2D-only
+tail [lo_dop, hi_dop, ex, ey, ez, emask, ok], padded to a 128-multiple D.
+The partner table additionally carries the per-(i,k) candidate flag in its
+reserved ``ok`` lane.
 
 Reference: the PhysX narrowphase black box behind
 /root/reference/Src/Surtr.cpp:330-331 (SURVEY §7 hard-part 5).
@@ -39,6 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 BIG = 3.4e38
 
+# Output row layout (per pair slot, lanes): nx ny nz depth hit, then
+# M manifold lanes each of [val, hit, px, py, pz].
+OUT_LANES = 128
+
 _DOP = np.asarray(
     [
         (1, 0, 0), (0, 1, 0), (0, 0, 1),
@@ -55,15 +63,14 @@ def pack_layout(Vh: int, F: int, Ne: int):
     assert Vh <= 128 and F <= 128, "aligned layout assumes 128-lane fields"
     offs = {}
     o = 0
-    for name, n in (
-        ("wvx", Vh), ("wvy", Vh), ("wvz", Vh), ("wm", Vh),
-        ("pnx", F), ("pny", F), ("pnz", F), ("pd", F), ("pm", F),
-    ):
+    for name in ("wvx", "wvy", "wvz", "wm", "pnx", "pny", "pnz", "pd", "pm"):
+        n = Vh if name in ("wvx", "wvy", "wvz", "wm") else F
         offs[name] = (o, n)
         o += 128
     for name, n in (
         ("lod", 13), ("hid", 13),
         ("ex", Ne), ("ey", Ne), ("ez", Ne), ("em", Ne),
+        ("ok", 1),
     ):
         offs[name] = (o, n)
         o += n
@@ -73,14 +80,12 @@ def pack_layout(Vh: int, F: int, Ne: int):
 
 def pack_pieces(parts: dict, Vh: int, F: int, Ne: int):
     """Assemble the aligned (Np, D) table from named per-piece arrays."""
-    import jax.numpy as jnp
-
     offs, D = pack_layout(Vh, F, Ne)
     Np = parts["wvx"].shape[0]
     cols = []
     o = 0
     for name in ("wvx", "wvy", "wvz", "wm", "pnx", "pny", "pnz", "pd", "pm",
-                 "lod", "hid", "ex", "ey", "ez", "em"):
+                 "lod", "hid", "ex", "ey", "ez", "em", "ok"):
         if name not in parts:
             continue
         start, n = offs[name]
@@ -110,276 +115,204 @@ def _first_true(mask):
 
 
 def _narrow_kernel(
-    pi_ref,     # (BN, Dp) own packed row
-    pj_ref,     # (BN, K*D padded) partner packed rows, k-major
-    pok_ref,    # (BN, Kp) f32 pair-candidate ok
-    on_ref,     # (BN, 3Kp) out: contact normal [x(K) | y(K) | z(K)], j→i
-    odep_ref,   # (BN, Kp) out: SAT depth
-    ohit_ref,   # (BN, Kp) out: pair hit f32
-    omp_ref,    # (BN, 3MKp) out: manifold points [x(MK) | y(MK) | z(MK)],
-                #   tiled slot order (slot = m·K + k)
-    omv_ref,    # (BN, MKp) out: manifold depths
-    omh_ref,    # (BN, MKp) out: manifold hit f32
-    *, Vh: int, F: int, Ne: int, K: int, M: int, D: int, slop: float,
+    pi_ref,     # (BN, D) own packed rows (revisited across k)
+    pj_ref,     # (BN, D) k-th partner packed rows (incl. the ok lane)
+    out_ref,    # (BN, OUT_LANES) per-pair contact outputs
+    *, Vh: int, F: int, Ne: int, M: int, slop: float,
 ):
     f32 = jnp.float32
     BN = pi_ref.shape[0]
     big = jnp.asarray(BIG, f32)
-
     offs, _ = pack_layout(Vh, F, Ne)
 
-    def unpack(row_ref, base):
+    def unpack(ref):
         def take(name):
             o, n = offs[name]
-            return row_ref[:, base + o : base + o + n]
+            return ref[:, o : o + n]
 
-        wv = [take("wvx"), take("wvy"), take("wvz")]
-        wm = take("wm")
-        pn = [take("pnx"), take("pny"), take("pnz")]
-        pd = take("pd")
-        pm = take("pm")
-        lod = take("lod")
-        hid = take("hid")
-        ed = [take("ex"), take("ey"), take("ez")] if Ne else None
-        em = take("em") if Ne else None
-        return wv, wm, pn, pd, pm, lod, hid, ed, em
-
-    ivx_, ivm, ipn, ipd, ipm, ilo, ihi, ied, iem = unpack(pi_ref, 0)
-    pok = pok_ref[:]
-
-    nK, dK, hK = [], [], []
-    mvK = [[None] * K for _ in range(M)]
-    mpK = [[[None] * K for _ in range(M)] for _ in range(3)]
-    mhK = [[None] * K for _ in range(M)]
-
-    ivm3 = ivm[:, :, None]                            # (BN, Vh, 1) f32 0/1
-
-    for k in range(K):
-        jvx_, jvm, jpn, jpd, jpm, jlo, jhi, jed, jem = unpack(pj_ref, k * D)
-        ok = pok[:, k : k + 1]                         # (BN, 1)
-        jvm3 = jvm[:, :, None]
-
-        # --- (1) 26-DOP interval axes (directions are constants).
-        ov_dop = jnp.minimum(ihi, jhi) - jnp.maximum(ilo, jlo)   # (BN, 13)
-        flip = (ihi + ilo) < (jhi + jlo)                         # (BN, 13)
-        sgn = jnp.where(flip, -1.0, 1.0)
-        # Directions as Python scalars (Pallas kernels cannot capture
-        # constant arrays).
-        dopx = jnp.concatenate(
-            [sgn[:, a : a + 1] * float(_DOP[a, 0]) for a in range(13)], 1
-        )
-        dopy = jnp.concatenate(
-            [sgn[:, a : a + 1] * float(_DOP[a, 1]) for a in range(13)], 1
-        )
-        dopz = jnp.concatenate(
-            [sgn[:, a : a + 1] * float(_DOP[a, 2]) for a in range(13)], 1
+        return (
+            [take("wvx"), take("wvy"), take("wvz")], take("wm"),
+            [take("pnx"), take("pny"), take("pnz")], take("pd"), take("pm"),
+            take("lod"), take("hid"),
+            [take("ex"), take("ey"), take("ez")] if Ne else None,
+            take("em") if Ne else None,
+            take("ok"),
         )
 
-        # --- (2) i-verts vs j-planes. dist_ij: (BN, Vh, F)
-        dist_ij = (
-            ivx_[0][:, :, None] * jpn[0][:, None, :]
-            + ivx_[1][:, :, None] * jpn[1][:, None, :]
-            + ivx_[2][:, :, None] * jpn[2][:, None, :]
-            + jpd[:, None, :]
-        )
-        pen_fj = -jnp.min(
-            dist_ij * ivm3 + (1.0 - ivm3) * big, axis=1
-        )                                                         # (BN, F)
+    iv, ivm, ipn, ipd, ipm, ilo, ihi, ied, iem, _ = unpack(pi_ref)
+    jv, jvm, jpn, jpd, jpm, jlo, jhi, jed, jem, jok = unpack(pj_ref)
+    ok = jok                                            # (BN, 1)
+    ivm3 = ivm[:, :, None]                              # (BN, Vh, 1) f32 0/1
+    jvm3 = jvm[:, :, None]
 
-        # --- (3) j-verts vs i-planes.
-        dist_ji = (
-            jvx_[0][:, :, None] * ipn[0][:, None, :]
-            + jvx_[1][:, :, None] * ipn[1][:, None, :]
-            + jvx_[2][:, :, None] * ipn[2][:, None, :]
-            + ipd[:, None, :]
-        )
-        pen_fi = -jnp.min(
-            dist_ji * jvm3 + (1.0 - jvm3) * big, axis=1
-        )                                                         # (BN, F)
-
-        pens = [ov_dop, pen_fj, pen_fi]
-        msks = [jnp.ones((BN, 13), f32), jpm, ipm]
-        dirx = [dopx, jpn[0], -ipn[0]]
-        diry = [dopy, jpn[1], -ipn[1]]
-        dirz = [dopz, jpn[2], -ipn[2]]
-
-        # --- (4) edge×edge cross axes (Ne² lanes).
-        if Ne:
-            exs, eys, ezs, pens_e, mask_e = [], [], [], [], []
-            for a in range(Ne):
-                for b in range(Ne):
-                    cx = ied[1][:, a : a + 1] * jed[2][:, b : b + 1] \
-                        - ied[2][:, a : a + 1] * jed[1][:, b : b + 1]
-                    cy = ied[2][:, a : a + 1] * jed[0][:, b : b + 1] \
-                        - ied[0][:, a : a + 1] * jed[2][:, b : b + 1]
-                    cz = ied[0][:, a : a + 1] * jed[1][:, b : b + 1] \
-                        - ied[1][:, a : a + 1] * jed[0][:, b : b + 1]
-                    nrm2 = cx * cx + cy * cy + cz * cz
-                    nl = jnp.sqrt(nrm2)
-                    inv = 1.0 / jnp.maximum(nl, 1e-30)
-                    cx, cy, cz = cx * inv, cy * inv, cz * inv
-                    emk = (
-                        iem[:, a : a + 1]
-                        * jem[:, b : b + 1]
-                        * (nl > 1e-6).astype(f32)
-                    )
-                    ti = (
-                        ivx_[0] * cx + ivx_[1] * cy + ivx_[2] * cz
-                    )                                             # (BN, Vh)
-                    tj = jvx_[0] * cx + jvx_[1] * cy + jvx_[2] * cz
-                    im = ivm > 0.5
-                    jm = jvm > 0.5
-                    ilo_e = jnp.min(jnp.where(im, ti, big), 1, keepdims=True)
-                    ihi_e = jnp.max(jnp.where(im, ti, -big), 1, keepdims=True)
-                    jlo_e = jnp.min(jnp.where(jm, tj, big), 1, keepdims=True)
-                    jhi_e = jnp.max(jnp.where(jm, tj, -big), 1, keepdims=True)
-                    ov_e = jnp.minimum(ihi_e, jhi_e) - jnp.maximum(
-                        ilo_e, jlo_e
-                    )
-                    flip_e = (ihi_e + ilo_e) < (jhi_e + jlo_e)
-                    se = jnp.where(flip_e, -1.0, 1.0)
-                    exs.append(cx * se)
-                    eys.append(cy * se)
-                    ezs.append(cz * se)
-                    pens_e.append(ov_e)
-                    mask_e.append(emk)
-            pens.append(jnp.concatenate(pens_e, axis=1))
-            msks.append(jnp.concatenate(mask_e, axis=1))
-            dirx.append(jnp.concatenate(exs, axis=1))
-            diry.append(jnp.concatenate(eys, axis=1))
-            dirz.append(jnp.concatenate(ezs, axis=1))
-
-        pen_all = jnp.concatenate(pens, axis=1)                   # (BN, A)
-        msk_all = jnp.concatenate(msks, axis=1)
-        dx_all = jnp.concatenate(dirx, axis=1)
-        dy_all = jnp.concatenate(diry, axis=1)
-        dz_all = jnp.concatenate(dirz, axis=1)
-        pen_all = pen_all * msk_all + (1.0 - msk_all) * big
-        depth = jnp.min(pen_all, axis=1, keepdims=True)           # (BN, 1)
-        sel = _first_true(pen_all == depth).astype(f32)
-        nx = jnp.sum(sel * dx_all, axis=1, keepdims=True)
-        ny = jnp.sum(sel * dy_all, axis=1, keepdims=True)
-        nz = jnp.sum(sel * dz_all, axis=1, keepdims=True)
-        hit = (
-            (ok > 0.5) & (depth > -slop) & (depth < big / 2)
-        )                                                         # (BN, 1)
-
-        # --- containment manifold (deepest-first, first-of-ties).
-        si_n = ivx_[0] * nx + ivx_[1] * ny + ivx_[2] * nz         # (BN, Vh)
-        sj_n = jvx_[0] * nx + jvx_[1] * ny + jvx_[2] * nz
-        im = ivm > 0.5
-        jm = jvm > 0.5
-        si_min = jnp.min(jnp.where(im, si_n, big), 1, keepdims=True)
-        sj_max = jnp.max(jnp.where(jm, sj_n, -big), 1, keepdims=True)
-        jpm3 = jpm[:, None, :]
-        ipm3 = ipm[:, None, :]
-        inside_j = (
-            jnp.max(dist_ij * jpm3 - (1.0 - jpm3) * big, axis=2) <= slop
-        )                                                         # (BN, Vh)
-        inside_i = (
-            jnp.max(dist_ji * ipm3 - (1.0 - ipm3) * big, axis=2) <= slop
-        )
-        depth_iv = sj_max - si_n                                  # (BN, Vh)
-        depth_jv = sj_n - si_min
-        score_i = jnp.where(inside_j & im, depth_iv, -big)
-        score_j = jnp.where(inside_i & jm, depth_jv, -big)
-        sc = jnp.concatenate([score_i, score_j], axis=1)          # (BN, 2Vh)
-        ptx_i = ivx_[0] + nx * (depth_iv * 0.5)
-        pty_i = ivx_[1] + ny * (depth_iv * 0.5)
-        ptz_i = ivx_[2] + nz * (depth_iv * 0.5)
-        ptx_j = jvx_[0] - nx * (depth_jv * 0.5)
-        pty_j = jvx_[1] - ny * (depth_jv * 0.5)
-        ptz_j = jvx_[2] - nz * (depth_jv * 0.5)
-
-        any_m = jnp.zeros((BN, 1), bool)
-        for m in range(M):
-            mx = jnp.max(sc, axis=1, keepdims=True)
-            best = _first_true(sc >= mx).astype(f32)
-            bi, bj = best[:, :Vh], best[:, Vh:]
-            mval = jnp.sum(best * sc, axis=1, keepdims=True)
-            px = jnp.sum(bi * ptx_i + bj * ptx_j, axis=1, keepdims=True)
-            py = jnp.sum(bi * pty_i + bj * pty_j, axis=1, keepdims=True)
-            pz = jnp.sum(bi * ptz_i + bj * ptz_j, axis=1, keepdims=True)
-            mh = hit & (mval > -slop) & (mval < big / 2)
-            mvK[m][k] = mval
-            mpK[0][m][k] = px
-            mpK[1][m][k] = py
-            mpK[2][m][k] = pz
-            mhK[m][k] = mh
-            any_m = any_m | mh
-            sc = jnp.where(best > 0.5, -big, sc)
-
-        # Fallback: deepest support points (edge-edge crossings contain no
-        # vertex of either hull).
-        none = hit & ~any_m
-        fi = _first_true(
-            ((-si_n) >= jnp.max(
-                jnp.where(im, -si_n, -big), 1, keepdims=True
-            ))
-            & im
-        ).astype(f32)
-        fj = _first_true(
-            (sj_n >= jnp.max(
-                jnp.where(jm, sj_n, -big), 1, keepdims=True
-            ))
-            & jm
-        ).astype(f32)
-        fx = 0.5 * (
-            jnp.sum(fi * ivx_[0], 1, keepdims=True)
-            + jnp.sum(fj * jvx_[0], 1, keepdims=True)
-        )
-        fy = 0.5 * (
-            jnp.sum(fi * ivx_[1], 1, keepdims=True)
-            + jnp.sum(fj * jvx_[1], 1, keepdims=True)
-        )
-        fz = 0.5 * (
-            jnp.sum(fi * ivx_[2], 1, keepdims=True)
-            + jnp.sum(fj * jvx_[2], 1, keepdims=True)
-        )
-        mpK[0][0][k] = jnp.where(none, fx, mpK[0][0][k])
-        mpK[1][0][k] = jnp.where(none, fy, mpK[1][0][k])
-        mpK[2][0][k] = jnp.where(none, fz, mpK[2][0][k])
-        mvK[0][k] = jnp.where(none, depth, mvK[0][k])
-        mhK[0][k] = mhK[0][k] | none
-
-        nK.append((nx, ny, nz))
-        dK.append(depth)
-        hK.append(hit)
-
-    def padcat(cols, width):
-        out = jnp.concatenate(cols, axis=1)
-        pad = width - out.shape[1]
-        if pad:
-            out = jnp.concatenate(
-                [out, jnp.zeros((BN, pad), f32)], axis=1
-            )
-        return out
-
-    Kp = on_ref.shape[1] // 3
-    MKp = omv_ref.shape[1]
-    on_ref[:] = jnp.concatenate(
-        [
-            padcat([nK[k][0] for k in range(K)], Kp),
-            padcat([nK[k][1] for k in range(K)], Kp),
-            padcat([nK[k][2] for k in range(K)], Kp),
-        ],
-        axis=1,
+    # --- (1) 26-DOP interval axes (directions are Python constants —
+    # Pallas kernels cannot capture constant arrays).
+    ov_dop = jnp.minimum(ihi, jhi) - jnp.maximum(ilo, jlo)   # (BN, 13)
+    flip = (ihi + ilo) < (jhi + jlo)
+    sgn = jnp.where(flip, -1.0, 1.0)
+    dopx = jnp.concatenate(
+        [sgn[:, a : a + 1] * float(_DOP[a, 0]) for a in range(13)], 1
     )
-    odep_ref[:] = padcat(dK, Kp)
-    ohit_ref[:] = padcat([h.astype(f32) for h in hK], Kp)
-    tiled_v = [mvK[m][k] for m in range(M) for k in range(K)]
-    tiled_h = [
-        mhK[m][k].astype(f32) for m in range(M) for k in range(K)
-    ]
-    omv_ref[:] = padcat(tiled_v, MKp)
-    omh_ref[:] = padcat(tiled_h, MKp)
-    MK3p = omp_ref.shape[1] // 3
-    omp_ref[:] = jnp.concatenate(
-        [
-            padcat([mpK[c][m][k] for m in range(M) for k in range(K)], MK3p)
-            for c in range(3)
-        ],
-        axis=1,
+    dopy = jnp.concatenate(
+        [sgn[:, a : a + 1] * float(_DOP[a, 1]) for a in range(13)], 1
+    )
+    dopz = jnp.concatenate(
+        [sgn[:, a : a + 1] * float(_DOP[a, 2]) for a in range(13)], 1
+    )
+
+    # --- (2) i-verts vs j-planes; (3) j-verts vs i-planes. (BN, Vh, F);
+    # masked arithmetically (3D broadcast of i1 trips Mosaic).
+    dist_ij = (
+        iv[0][:, :, None] * jpn[0][:, None, :]
+        + iv[1][:, :, None] * jpn[1][:, None, :]
+        + iv[2][:, :, None] * jpn[2][:, None, :]
+        + jpd[:, None, :]
+    )
+    pen_fj = -jnp.min(dist_ij * ivm3 + (1.0 - ivm3) * big, axis=1)
+    dist_ji = (
+        jv[0][:, :, None] * ipn[0][:, None, :]
+        + jv[1][:, :, None] * ipn[1][:, None, :]
+        + jv[2][:, :, None] * ipn[2][:, None, :]
+        + ipd[:, None, :]
+    )
+    pen_fi = -jnp.min(dist_ji * jvm3 + (1.0 - jvm3) * big, axis=1)
+
+    pens = [ov_dop, pen_fj, pen_fi]
+    msks = [jnp.ones((BN, 13), f32), jpm, ipm]
+    dirx = [dopx, jpn[0], -ipn[0]]
+    diry = [dopy, jpn[1], -ipn[1]]
+    dirz = [dopz, jpn[2], -ipn[2]]
+
+    im = ivm > 0.5
+    jm = jvm > 0.5
+
+    # --- (4) edge×edge cross axes (Ne² lanes).
+    if Ne:
+        exs, eys, ezs, pens_e, mask_e = [], [], [], [], []
+        for a in range(Ne):
+            for b in range(Ne):
+                cx = ied[1][:, a : a + 1] * jed[2][:, b : b + 1] \
+                    - ied[2][:, a : a + 1] * jed[1][:, b : b + 1]
+                cy = ied[2][:, a : a + 1] * jed[0][:, b : b + 1] \
+                    - ied[0][:, a : a + 1] * jed[2][:, b : b + 1]
+                cz = ied[0][:, a : a + 1] * jed[1][:, b : b + 1] \
+                    - ied[1][:, a : a + 1] * jed[0][:, b : b + 1]
+                nl = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+                inv = 1.0 / jnp.maximum(nl, 1e-30)
+                cx, cy, cz = cx * inv, cy * inv, cz * inv
+                emk = (
+                    iem[:, a : a + 1]
+                    * jem[:, b : b + 1]
+                    * (nl > 1e-6).astype(f32)
+                )
+                ti = iv[0] * cx + iv[1] * cy + iv[2] * cz     # (BN, Vh)
+                tj = jv[0] * cx + jv[1] * cy + jv[2] * cz
+                ilo_e = jnp.min(jnp.where(im, ti, big), 1, keepdims=True)
+                ihi_e = jnp.max(jnp.where(im, ti, -big), 1, keepdims=True)
+                jlo_e = jnp.min(jnp.where(jm, tj, big), 1, keepdims=True)
+                jhi_e = jnp.max(jnp.where(jm, tj, -big), 1, keepdims=True)
+                ov_e = jnp.minimum(ihi_e, jhi_e) - jnp.maximum(ilo_e, jlo_e)
+                flip_e = (ihi_e + ilo_e) < (jhi_e + jlo_e)
+                se = jnp.where(flip_e, -1.0, 1.0)
+                exs.append(cx * se)
+                eys.append(cy * se)
+                ezs.append(cz * se)
+                pens_e.append(ov_e)
+                mask_e.append(emk)
+        pens.append(jnp.concatenate(pens_e, axis=1))
+        msks.append(jnp.concatenate(mask_e, axis=1))
+        dirx.append(jnp.concatenate(exs, axis=1))
+        diry.append(jnp.concatenate(eys, axis=1))
+        dirz.append(jnp.concatenate(ezs, axis=1))
+
+    pen_all = jnp.concatenate(pens, axis=1)                   # (BN, A)
+    msk_all = jnp.concatenate(msks, axis=1)
+    dx_all = jnp.concatenate(dirx, axis=1)
+    dy_all = jnp.concatenate(diry, axis=1)
+    dz_all = jnp.concatenate(dirz, axis=1)
+    pen_all = pen_all * msk_all + (1.0 - msk_all) * big
+    depth = jnp.min(pen_all, axis=1, keepdims=True)           # (BN, 1)
+    sel = _first_true(pen_all == depth).astype(f32)
+    nx = jnp.sum(sel * dx_all, axis=1, keepdims=True)
+    ny = jnp.sum(sel * dy_all, axis=1, keepdims=True)
+    nz = jnp.sum(sel * dz_all, axis=1, keepdims=True)
+    hit = (ok > 0.5) & (depth > -slop) & (depth < big / 2)    # (BN, 1)
+
+    # --- containment manifold (deepest-first, first-of-ties).
+    si_n = iv[0] * nx + iv[1] * ny + iv[2] * nz               # (BN, Vh)
+    sj_n = jv[0] * nx + jv[1] * ny + jv[2] * nz
+    si_min = jnp.min(jnp.where(im, si_n, big), 1, keepdims=True)
+    sj_max = jnp.max(jnp.where(jm, sj_n, -big), 1, keepdims=True)
+    jpm3 = jpm[:, None, :]
+    ipm3 = ipm[:, None, :]
+    inside_j = jnp.max(dist_ij * jpm3 - (1.0 - jpm3) * big, axis=2) <= slop
+    inside_i = jnp.max(dist_ji * ipm3 - (1.0 - ipm3) * big, axis=2) <= slop
+    depth_iv = sj_max - si_n                                  # (BN, Vh)
+    depth_jv = sj_n - si_min
+    score_i = jnp.where(inside_j & im, depth_iv, -big)
+    score_j = jnp.where(inside_i & jm, depth_jv, -big)
+    sc = jnp.concatenate([score_i, score_j], axis=1)          # (BN, 2Vh)
+    ptx_i = iv[0] + nx * (depth_iv * 0.5)
+    pty_i = iv[1] + ny * (depth_iv * 0.5)
+    ptz_i = iv[2] + nz * (depth_iv * 0.5)
+    ptx_j = jv[0] - nx * (depth_jv * 0.5)
+    pty_j = jv[1] - ny * (depth_jv * 0.5)
+    ptz_j = jv[2] - nz * (depth_jv * 0.5)
+
+    mv, mh, mpx, mpy, mpz = [], [], [], [], []
+    any_m = jnp.zeros((BN, 1), bool)
+    for m in range(M):
+        mx = jnp.max(sc, axis=1, keepdims=True)
+        best = _first_true(sc >= mx).astype(f32)
+        bi, bj = best[:, :Vh], best[:, Vh:]
+        mval = jnp.sum(best * sc, axis=1, keepdims=True)
+        px = jnp.sum(bi * ptx_i + bj * ptx_j, axis=1, keepdims=True)
+        py = jnp.sum(bi * pty_i + bj * pty_j, axis=1, keepdims=True)
+        pz = jnp.sum(bi * ptz_i + bj * ptz_j, axis=1, keepdims=True)
+        h = hit & (mval > -slop) & (mval < big / 2)
+        mv.append(mval)
+        mh.append(h)
+        mpx.append(px)
+        mpy.append(py)
+        mpz.append(pz)
+        any_m = any_m | h
+        sc = jnp.where(best > 0.5, -big, sc)
+
+    # Fallback: deepest support points (edge-edge crossings contain no
+    # vertex of either hull).
+    none = hit & ~any_m
+    fi = _first_true(
+        ((-si_n) >= jnp.max(jnp.where(im, -si_n, -big), 1, keepdims=True))
+        & im
+    ).astype(f32)
+    fj = _first_true(
+        (sj_n >= jnp.max(jnp.where(jm, sj_n, -big), 1, keepdims=True)) & jm
+    ).astype(f32)
+    fx = 0.5 * (
+        jnp.sum(fi * iv[0], 1, keepdims=True)
+        + jnp.sum(fj * jv[0], 1, keepdims=True)
+    )
+    fy = 0.5 * (
+        jnp.sum(fi * iv[1], 1, keepdims=True)
+        + jnp.sum(fj * jv[1], 1, keepdims=True)
+    )
+    fz = 0.5 * (
+        jnp.sum(fi * iv[2], 1, keepdims=True)
+        + jnp.sum(fj * jv[2], 1, keepdims=True)
+    )
+    mpx[0] = jnp.where(none, fx, mpx[0])
+    mpy[0] = jnp.where(none, fy, mpy[0])
+    mpz[0] = jnp.where(none, fz, mpz[0])
+    mv[0] = jnp.where(none, depth, mv[0])
+    mh[0] = mh[0] | none
+
+    cols = [nx, ny, nz, depth, hit.astype(f32)]
+    for m in range(M):
+        cols += [mv[m], mh[m].astype(f32), mpx[m], mpy[m], mpz[m]]
+    out = jnp.concatenate(cols, axis=1)
+    pad = OUT_LANES - out.shape[1]
+    out_ref[:] = jnp.concatenate(
+        [out, jnp.zeros((BN, pad), f32)], axis=1
     )
 
 
@@ -393,63 +326,62 @@ def narrowphase_pairs_pallas(
     interpret: bool = False,
 ):
     """packed: (Np, D) planar per-piece tables; pj_flat: (Np, K·D) gathered
-    partner rows (k-major); pok: (Np, K) candidate mask.
+    partner rows (k-major) with the reserved ``ok`` lane of every row
+    holding the per-(i,k) candidate flag; pok is folded into those lanes
+    here (kept as an argument so the caller stays backend-agnostic).
 
     Returns (pc_n (Np, K, 3) j→i normals, depth (Np, K), pair_hit (Np, K),
     mpts (Np, K·M, 3) tiled slot order, mvals (Np, K·M), mhit (Np, K·M)).
     """
     Np, D = packed.shape
+    offs, _ = pack_layout(Vh, F, Ne)
+    ok_lane = offs["ok"][0]
     BN = 256
     Np_pad = ((Np + BN - 1) // BN) * BN
     MK = M * K
-    Kp = ((K + 127) // 128) * 128
-    MKp = ((MK + 127) // 128) * 128
-    Dp = ((D + 127) // 128) * 128
-    KDp = ((K * D + 127) // 128) * 128
 
-    padr = lambda a, w: jnp.pad(
-        a, ((0, Np_pad - Np), (0, w - a.shape[1]))
-    )
-    pi_p = padr(packed, Dp)
-    pj_p = padr(pj_flat, KDp)
-    pok_p = padr(pok.astype(jnp.float32), Kp)
+    pj3 = pj_flat.reshape(Np, K, D)
+    pj3 = pj3.at[:, :, ok_lane].set(pok.astype(pj3.dtype))
+    pj_flat = pj3.reshape(Np, K * D)
 
-    grid = (Np_pad // BN,)
-    bs = lambda cols: pl.BlockSpec(
-        (BN, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    padr = lambda a: jnp.pad(a, ((0, Np_pad - Np), (0, 0)))
+    pi_p = padr(packed)
+    pj_p = padr(pj_flat)
+
+    grid = (Np_pad // BN, K)
     kernel = functools.partial(
-        _narrow_kernel, Vh=Vh, F=F, Ne=Ne, K=K, M=M, D=D, slop=slop
+        _narrow_kernel, Vh=Vh, F=F, Ne=Ne, M=M, slop=slop
     )
-    outs = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        in_specs=[bs(Dp), bs(KDp), bs(Kp)],
-        out_specs=(
-            bs(3 * Kp), bs(Kp), bs(Kp), bs(3 * MKp), bs(MKp), bs(MKp)
+        in_specs=[
+            pl.BlockSpec(
+                (BN, D), lambda b, k: (b, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (BN, D), lambda b, k: (b, k), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (BN, OUT_LANES), lambda b, k: (b, k), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((Np_pad, 3 * Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Np_pad, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Np_pad, Kp), jnp.float32),
-            jax.ShapeDtypeStruct((Np_pad, 3 * MKp), jnp.float32),
-            jax.ShapeDtypeStruct((Np_pad, MKp), jnp.float32),
-            jax.ShapeDtypeStruct((Np_pad, MKp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (Np_pad, K * OUT_LANES), jnp.float32
         ),
         interpret=interpret,
-    )(pi_p, pj_p, pok_p)
-    on, odep, ohit, omp, omv, omh = outs
-    pc_n = jnp.stack(
-        [on[:Np, c * Kp : c * Kp + K] for c in range(3)], axis=-1
-    )                                                  # (Np, K, 3)
-    depth = odep[:Np, :K]
-    pair_hit = ohit[:Np, :K] > 0.5
-    mpts = jnp.stack(
-        [omp[:Np, c * MKp : c * MKp + MK] for c in range(3)], axis=-1
-    )                                                  # (Np, MK, 3)
-    mvals = omv[:Np, :MK]
-    mhit = omh[:Np, :MK] > 0.5
+    )(pi_p, pj_p)
+
+    o = out[:Np].reshape(Np, K, OUT_LANES)
+    pc_n = o[:, :, 0:3]                                # (Np, K, 3)
+    depth = o[:, :, 3]
+    pair_hit = o[:, :, 4] > 0.5
+    mv = o[:, :, 5 : 5 + 5 * M].reshape(Np, K, M, 5)
+    # tiled slot order (slot = m·K + k)
+    mvals = jnp.transpose(mv[..., 0], (0, 2, 1)).reshape(Np, MK)
+    mhit = jnp.transpose(mv[..., 1], (0, 2, 1)).reshape(Np, MK) > 0.5
+    mpts = jnp.transpose(mv[..., 2:5], (0, 2, 1, 3)).reshape(Np, MK, 3)
     return pc_n, depth, pair_hit, mpts, mvals, mhit

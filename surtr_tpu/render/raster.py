@@ -255,8 +255,14 @@ def render_scene(
     shadow_size: int = 1024,
     cfg=None,
     wireframe: bool = False,
+    normals=None,
 ):
-    """Full two-pass frame. colors: (T, 3) per-triangle base color.
+    """Full two-pass frame. colors: (T, 3) per-triangle base color;
+    normals: optional (T, 3, 3) per-corner normals for smooth (Gouraud-
+    normal / per-pixel Phong) shading — the reference imports per-vertex
+    normals (VertexNormalColor, Mesh.h:4-13) and shades with them; flat
+    per-triangle normals remain the default (fracture cut faces are
+    planar). Near-plane-clipped sub-triangles fall back to flat normals.
 
     Returns (image (H, W, 3) f32 in [0,1], depth (H, W))."""
     ambient = 0.08 if cfg is None else cfg.ambient
@@ -287,16 +293,21 @@ def render_scene(
     n_t = n_t / jnp.maximum(
         jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
     )
-    attrs = jnp.concatenate(
-        [
-            world2.reshape(2 * T, 9),
-            sx, sy, inv_w,
-            jnp.tile(n_t, (2, 1)),
-            jnp.tile(colors, (2, 1)),
-        ],
-        axis=1,
-    )                                                   # (2T, 24)
-    pa = attrs[t2]                                      # (H, W, 24)
+    parts = [
+        world2.reshape(2 * T, 9),
+        sx, sy, inv_w,
+        jnp.tile(n_t, (2, 1)),
+        jnp.tile(colors, (2, 1)),
+    ]
+    if normals is not None:
+        # Per-corner normals; the near-clip's extra T sub-triangles reuse
+        # the flat normal at every corner (clip-edge cases only).
+        flat3 = jnp.tile(n_t[:, None, :], (1, 3, 1))
+        parts.append(
+            jnp.concatenate([normals, flat3]).reshape(2 * T, 9)
+        )
+    attrs = jnp.concatenate(parts, axis=1)              # (2T, 24[+9])
+    pa = attrs[t2]                                      # (H, W, 24[+9])
     tri = pa[..., 0:9].reshape(pa.shape[:-1] + (3, 3))
     ax, bx, cx = pa[..., 9], pa[..., 10], pa[..., 11]
     ay, by, cy = pa[..., 12], pa[..., 13], pa[..., 14]
@@ -318,6 +329,18 @@ def render_scene(
         + tri[..., 1, :] * (w1 * iw[..., 1])[..., None]
         + tri[..., 2, :] * (w2 * iw[..., 2])[..., None]
     ) / denom[..., None]
+
+    if normals is not None:
+        # Perspective-correct normal interpolation at the pixel.
+        vn = pa[..., 24:33].reshape(pa.shape[:-1] + (3, 3))
+        n_px = (
+            vn[..., 0, :] * (w0 * iw[..., 0])[..., None]
+            + vn[..., 1, :] * (w1 * iw[..., 1])[..., None]
+            + vn[..., 2, :] * (w2 * iw[..., 2])[..., None]
+        ) / denom[..., None]
+        n = n_px / jnp.maximum(
+            jnp.linalg.norm(n_px, axis=-1, keepdims=True), 1e-12
+        )
 
     ldir = -jnp.asarray(light_dir, jnp.float32)
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)

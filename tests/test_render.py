@@ -99,3 +99,48 @@ def test_pallas_raster_matches_jnp_path():
         np.asarray(d_pal), np.asarray(d_ref), atol=1e-6
     )
     assert (np.asarray(t_pal) == np.asarray(t_ref)).mean() > 0.999
+
+
+def test_smooth_vertex_normals_shading():
+    """Per-vertex-normal interpolation (reference VertexNormalColor,
+    Mesh.h:4-13): a sphere shaded with smooth normals varies continuously
+    inside each facet, while flat shading is constant per facet."""
+    import numpy as np
+
+    from surtr_tpu.io.models import icosphere, smooth_vertex_normals
+    from surtr_tpu.render.camera import light_view_proj, look_at, perspective
+    from surtr_tpu.render.raster import render_scene
+
+    v, f = icosphere(subdiv=1, radius=1.0)
+    tris = jnp.asarray(v[f])
+    T = len(f)
+    valid = jnp.ones((T,), bool)
+    colors = jnp.full((T, 3), 0.8)
+    vn = jnp.asarray(smooth_vertex_normals(v, f))
+    # analytic check: sphere normals ≈ normalized positions
+    nrm = np.asarray(vn).reshape(-1, 3)
+    pos = np.asarray(tris).reshape(-1, 3)
+    cos = np.sum(nrm * pos / np.linalg.norm(pos, axis=1, keepdims=True), 1)
+    assert cos.min() > 0.9
+
+    cam = perspective(45, 1.0, 0.1, 50) @ look_at((0, 0, 4), (0, 0, 0))
+    ldir = jnp.asarray([-0.5, -0.8, -0.4])
+    lvp = light_view_proj(ldir, (0, 0, 0), 3.0)
+    W = H = 96
+    img_s, _ = render_scene(
+        tris, valid, colors, cam, lvp, ldir, W=W, H=H, shadow_size=64,
+        normals=vn,
+    )
+    img_f, _ = render_scene(
+        tris, valid, colors, cam, lvp, ldir, W=W, H=H, shadow_size=64,
+    )
+    s_ = np.asarray(img_s)
+    f_ = np.asarray(img_f)
+    assert s_.shape == (H, W, 3)
+    # Smooth shading differs from flat and has smaller discontinuities:
+    # compare the total gradient magnitude inside the sphere silhouette.
+    g = lambda a: np.abs(np.diff(a[..., 0], axis=0)).sum() + np.abs(
+        np.diff(a[..., 0], axis=1)
+    ).sum()
+    assert not np.allclose(s_, f_)
+    assert g(s_) < g(f_)
