@@ -62,15 +62,18 @@ class FractureConfig:
                                  # around bends — PARITY.md divergence 3);
                                  # 0 falls back to segment probes only
 
-    exact_face_overlap: bool = False
-                                 # HandleConvexIsland contact test: False =
-                                 # coplanar-opposite faces + bounding-sphere
-                                 # overlap (conservative toward keeping
-                                 # contact); True = exact 2-D SAT overlap of
-                                 # the coplanar face polygons (the
-                                 # reference's point-in-polygon scan,
-                                 # Surtr.cpp:2240-2325) — parity mode, costs
-                                 # a top-k + scatter per event
+    exact_face_overlap: bool = True
+                                 # HandleConvexIsland contact test: True =
+                                 # exact 2-D SAT overlap of the coplanar
+                                 # face polygons (the reference's
+                                 # point-in-polygon scan,
+                                 # Surtr.cpp:2240-2325) — ON by default for
+                                 # parity (VERDICT r2 item 7: the sphere
+                                 # proxy over-glued laterally offset
+                                 # fragments); False = coplanar-opposite
+                                 # faces + bounding-sphere overlap
+                                 # (conservative toward keeping contact,
+                                 # saves a top-k + scatter per event)
 
     voronoi_exact_topk: bool = False
                                  # True = exact top_k for the k-nearest
@@ -138,12 +141,15 @@ class PhysicsConfig:
                                    # run the fused Pallas solver even off-TPU
                                    # (interpret mode) — used by tests to
                                    # check parity with the XLA solver
-    pallas_narrowphase: bool = True
+    pallas_narrowphase: bool = False
                                    # TPU: fused Pallas SAT+manifold kernel
-                                   # (physics/narrowphase_pallas.py) — the
-                                   # XLA path streams ~330 MB of (Np,K,Vh,F)
-                                   # distance tensors through HBM per step
-                                   # at 10k pieces
+                                   # (physics/narrowphase_pallas.py). OFF:
+                                   # measured 33 ms vs the XLA path's
+                                   # 6.6 ms at 10k — the (BN, 32, 32) 3D
+                                   # tensors tile at 32 of 128 lanes (25%
+                                   # VPU utilization); needs a 128-lane-
+                                   # minor reformulation before it can win
+                                   # (see ROADMAP)
     force_pallas_narrowphase: bool = False
                                    # run the Pallas narrowphase off-TPU
                                    # (interpret mode) — parity tests

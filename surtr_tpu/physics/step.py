@@ -581,14 +581,37 @@ def _assemble_and_solve(
     w0 = bodies.w
 
     myb = owner                                               # (Np,)
-    rA = pts - x_own[:, None]                                 # (Np, C, 3)
-    rB = pts - bodies.x[partner_body]                         # (Np, C, 3)
-    iA_m = (inv_m[myb] if not single else inv_m)[:, None]     # (Np, 1)
-    iB_m = jnp.where(is_static, 0.0, inv_m[partner_body])
-    iA_I = (inv_I[myb] if not single else inv_I)[:, None]     # (Np,1,3,3)
+    # Per-pair partner gather indices; ground slots read body 0 but are
+    # masked static (is_static covers both pair-miss and ground slots).
+    pair_body = owner[jnp.maximum(pidx, 0)]                    # (Np, K)
+    # Partner body tables come from ONE per-PAIR (Np, K, 13) packed gather
+    # then TILE over the M manifold slots — gathering per SLOT (Np, C)
+    # moved M× the bytes for the same values (inv_I alone was a
+    # (Np, C, 3, 3) gather). Tile ordering (slot = m·K + k) matches the
+    # slot assembly and the Pallas solver's pltpu.repeat.
+    btab = jnp.concatenate(
+        [bodies.x, inv_m[:, None], inv_I.reshape(B, 9), v0, w0], axis=1
+    )                                                          # (B, 19)
+    bt_pair = btab[pair_body]                                  # (Np, K, 19)
+
+    def tile_slots(a):  # (Np, K, L) → (Np, C, L); ground slots zero
+        t = jnp.tile(a, (1, M, 1))
+        return jnp.concatenate(
+            [t, jnp.zeros((Np, G) + a.shape[2:], a.dtype)], axis=1
+        )
+
+    xB = tile_slots(bt_pair[..., 0:3])                         # (Np, C, 3)
+    iB_m = jnp.where(is_static, 0.0, tile_slots(bt_pair[..., 3:4])[..., 0])
     iB_I = jnp.where(
-        is_static[..., None, None], 0.0, inv_I[partner_body]
+        is_static[..., None, None],
+        0.0,
+        tile_slots(bt_pair[..., 4:13]).reshape(Np, C, 3, 3),
     )
+    rA = pts - x_own[:, None]                                 # (Np, C, 3)
+    # rB is irrelevant on static/ground slots (iB and vB are masked there).
+    rB = pts - xB                                             # (Np, C, 3)
+    iA_m = (inv_m[myb] if not single else inv_m)[:, None]     # (Np, 1)
+    iA_I = (inv_I[myb] if not single else inv_I)[:, None]     # (Np,1,3,3)
 
     def k_term(im, iI, r, n):
         rxn = jnp.cross(r, n)
@@ -596,11 +619,6 @@ def _assemble_and_solve(
 
     kn = k_term(iA_m, iA_I, rA, nrm) + k_term(iB_m, iB_I, rB, nrm)
     m_eff = jnp.where(hit & (kn > 1e-12), 1.0 / jnp.maximum(kn, 1e-12), 0.0)
-
-    # Per-pair partner gather indices: one (Np, K) gather per iteration,
-    # broadcast over the M manifold slots; ground slots read body 0 but are
-    # masked static (is_static covers both pair-miss and ground slots).
-    pair_body = owner[jnp.maximum(pidx, 0)]                    # (Np, K)
 
     def partner_vel(v, w):
         vwB = jnp.concatenate([v, w], axis=1)[pair_body]       # (Np, K, 6)
@@ -627,10 +645,15 @@ def _assemble_and_solve(
             jnp.broadcast_to(w[myb][:, None], rA.shape), rA
         )
 
-    def rel_vel(v, w):
-        return own_vel(v, w) - partner_vel(v, w)
-
-    vn0 = jnp.sum(rel_vel(v0, w0) * nrm, axis=-1)
+    # vn0 (restitution reference) reuses the packed per-pair gather above
+    # instead of a second partner-velocity gather.
+    vB0 = jnp.where(
+        is_static[..., None],
+        0.0,
+        tile_slots(bt_pair[..., 13:16])
+        + jnp.cross(tile_slots(bt_pair[..., 16:19]), rB),
+    )
+    vn0 = jnp.sum((own_vel(v0, w0) - vB0) * nrm, axis=-1)
     bounce = -cfg.restitution * jnp.minimum(vn0 + cfg.bounce_threshold, 0.0)
     bias = (cfg.baumgarte / dt) * jnp.maximum(dep - cfg.contact_slop, 0.0)
     target = jnp.maximum(bounce, bias)
@@ -647,6 +670,8 @@ def _assemble_and_solve(
     sA = (split_body[myb] if not single else split_body)[:, None, None]
 
     mu = cfg.dynamic_friction
+    if profile_stage == 35:  # contact prep only (solver loop excluded)
+        return _stage_out(scene, m_eff, target, sA, rA, rB, v0, w0)
     if (
         single
         and cfg.banded_solver

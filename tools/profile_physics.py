@@ -90,9 +90,10 @@ def main():
         2: "2 +broadphase",
         3: "3 +narrowphase",
         4: "4 +solver",
+        35: "3b +contact prep",
         99: "5 full step",
     }
-    stages = [1, 2, 3, 4, 99]
+    stages = [1, 2, 3, 35, 4, 99]
     only = os.environ.get("STAGES")
     if only:
         stages = [int(s) for s in only.split(",")]
