@@ -367,7 +367,30 @@ def _split_mesh_islands(conv, mtris, mmask, solid_t, solid_m, mas, cfg):
         )
 
     if VR > 0:
-        vox = jax.vmap(voxel_labels)(conv, solid_t, solid_m)
+        # Secondary islands are rare: skip the whole voxel-occupancy sweep
+        # (winding tests over every candidate) unless some candidate
+        # actually produced one this event.
+        any_secondary = jnp.any(sub[:, 1:, :])
+
+        def _compute(_):
+            # Chunked over candidates: the winding sweep materializes
+            # (chunk, VR³, Ts, 3) — a full vmap at 1024 candidates × 10k
+            # source tris is a 26 GB tensor (measured HBM OOM).
+            return jax.lax.map(
+                lambda a: voxel_labels(*a),
+                (conv, solid_t, solid_m),
+                batch_size=64,
+            )
+
+        def _skip(_):
+            N0_, G3 = conv.n_verts.shape[0], VR**3
+            return (
+                jnp.zeros((N0_, G3, 3), jnp.float32),
+                jnp.zeros((N0_, G3), bool),
+                jnp.full((N0_, G3), VR**3, jnp.int32),
+            )
+
+        vox = jax.lax.cond(any_secondary, _compute, _skip, None)
 
     merged = []
     for k in range(1, ISL):
