@@ -523,10 +523,62 @@ def prepare_fracture(
     )
     conv = clip_planes_batch(ach_b, cell_planes, cell_pmask)
 
-    def mesh_one(pl, pm_):
-        return clip_trisoup(tri_corners, tmask, pl, pm_, max_out=Tp)
+    # Conservative per-cell triangle culling: at model scale every cell
+    # intersects only ~1% of the source mesh, but the naive clip runs all
+    # Tsrc triangles against every cell's planes (pumpkin 10k tris × 1024
+    # cells measured 4.6 s/event). A triangle can survive cell c only if
+    # no cell plane separates its bounding sphere; survivors compact into
+    # a per-cell pool via top-k over (-index) so the clip sees ``cap``
+    # candidates instead of Tsrc. Exact for everything kept; pool
+    # overflow adds to the drop counter (the usual observable-cap policy).
+    Tsrc = tri_corners.shape[0]
+    cull_cap = min(Tsrc, max(4 * Tp, -(-6 * Tsrc // max(C, 1))))
+    if cull_cap < Tsrc:
+        cent_t = jnp.mean(tri_corners, axis=1)                 # (T, 3)
+        rad_t = jnp.max(
+            jnp.linalg.norm(tri_corners - cent_t[:, None], axis=-1), axis=1
+        )
+        tol_c = 1e-4 * mas
 
-    mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
+        def cull_chunk(args):
+            pl, pm_ = args                                     # (b,Kp,4)
+            d = (
+                pl[..., 0:1] * cent_t[None, None, :, 0]
+                + pl[..., 1:2] * cent_t[None, None, :, 1]
+                + pl[..., 2:3] * cent_t[None, None, :, 2]
+                + pl[..., 3:4]
+            )                                                  # (b,Kp,T)
+            sep = jnp.any(
+                (d > rad_t[None, None, :] + tol_c) & pm_[:, :, None], axis=1
+            )
+            keep = tmask[None, :] & ~sep                       # (b, T)
+            score = jnp.where(
+                keep, -jnp.arange(Tsrc, dtype=jnp.float32), -BIG
+            )
+            _, idx = jax.lax.top_k(score, cull_cap)
+            sel_ok = jnp.take_along_axis(keep, idx, axis=1)
+            over = jnp.maximum(
+                jnp.sum(keep, axis=1) - cull_cap, 0
+            )
+            return idx, sel_ok, over
+
+        cidx, csel, cull_over = jax.lax.map(
+            cull_chunk, (cell_planes, cell_pmask), batch_size=128
+        )
+        ctris = tri_corners[cidx]                              # (C,cap,3,3)
+
+        def mesh_one(ct, cm_, pl, pm_):
+            return clip_trisoup(ct, cm_, pl, pm_, max_out=Tp)
+
+        mtris, mmask, mdrop = jax.vmap(mesh_one)(
+            ctris, csel, cell_planes, cell_pmask
+        )
+        mdrop = mdrop + cull_over
+    else:
+        def mesh_one(pl, pm_):
+            return clip_trisoup(tri_corners, tmask, pl, pm_, max_out=Tp)
+
+        mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
 
     solid_t = jnp.broadcast_to(tri_corners[None], (C,) + tri_corners.shape)
     solid_m = jnp.broadcast_to(tmask[None], (C,) + tmask.shape)
