@@ -320,6 +320,59 @@ def bench_render(size=512, shadow=512):
     return timeit(run, tris, warmup=2, iters=5) / REP
 
 
+def bench_interactive_frame():
+    """Config 4 head: the WHOLE interactive loop — raycast impact, radial
+    refracture, rigid rebuild + velocity transfer, physics step, shadow-
+    mapped render — as ONE fused dispatch (scene.interactive_frame; the
+    reference's Tick is one loop, Surtr.cpp:123-131)."""
+    from surtr_tpu.config import (
+        FractureConfig, PhysicsConfig, RenderConfig, SceneConfig,
+    )
+    from surtr_tpu.scene import Scene, interactive_frame
+
+    cfg = SceneConfig(
+        fracture=FractureConfig(
+            initial_decompose_cell_cnt=64,
+            max_pieces=256,
+            max_active_pieces=32,
+            max_piece_tris=64,
+            max_mesh_tris=512,
+            partial_pattern_cell_cnt=128,
+            general_pattern_cell_cnt=64,
+            voronoi_neighbors=48,
+        ),
+        physics=PhysicsConfig(),
+        render=RenderConfig(width=512, height=512, shadow_size=1024),
+    )
+    sc = Scene("cube", cfg)
+    origin = jnp.asarray([0.0, 10.0, 0.0])
+    direction = jnp.asarray([0.0, -1.0, 0.0])
+    eye = jnp.asarray([8.0, 6.0, 8.0], jnp.float32)
+    target = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
+
+    REP = 4
+
+    @jax.jit
+    def frames(pieces, phys, x0):
+        def body(carry, _):
+            pieces, phys, x0, acc = carry
+            pieces, phys, x0, img, _ = interactive_frame(
+                pieces, phys, x0, sc.ctx, origin, direction, eye, target,
+                cfg=cfg,
+            )
+            return (pieces, phys, x0, acc + jnp.sum(img[::64, ::64])), None
+
+        (p2, ph2, x2, acc), _ = jax.lax.scan(
+            body, (pieces, phys, x0, jnp.float32(0)), None, length=REP
+        )
+        return acc
+
+    ms = timeit(
+        frames, sc.pieces, sc.phys, sc._x0, warmup=2, iters=5
+    ) / REP
+    return ms
+
+
 def main():
     backend = jax.default_backend()
     t0 = time.time()
@@ -342,6 +395,15 @@ def main():
         f"[bench] render_shadow1024={render1k_ms:.2f} ms "
         f"({time.time()-t0:.0f}s elapsed)"
     )
+    try:
+        iframe_ms = bench_interactive_frame()
+        log(
+            f"[bench] interactive_frame={iframe_ms:.2f} ms "
+            f"({time.time()-t0:.0f}s elapsed)"
+        )
+    except Exception as e:
+        log(f"[bench] interactive_frame FAILED: {e}")
+        iframe_ms = -1.0
     try:
         pump_ms, pump_tris, pump_pieces = bench_decomposition_1k_model(
             "pumpkin"
@@ -367,6 +429,7 @@ def main():
         "batch64_1k_per_mesh_ms": round(b64_per, 3),
         "render_512_ms": round(render_ms, 3),
         "render_shadow1024_ms": round(render1k_ms, 3),
+        "interactive_frame_ms": round(iframe_ms, 3),
         "decomp_1k_pumpkin_ms": round(pump_ms, 3),
         "pumpkin_src_tris": pump_tris,
         "decomp_pieces": n_pieces,

@@ -284,3 +284,72 @@ def test_pallas_narrowphase_matches_xla():
             np.asarray(s_p.bodies.x), np.asarray(s_x.bodies.x), atol=1e-6
         )
         s = s_x
+
+
+def test_broadphase_sorted_vs_exact_on_dense_pile():
+    """VERDICT r2 item 5: quantify the Morton-window approximation on a
+    dense pile. The sorted sweep misses a measured ~20-30% of the exact
+    top-K pairs at window=32 (documented in ROADMAP; uniform-scale
+    quantization keeps it in that band on anisotropic scenes too) — this
+    test BOUNDS the miss rate and checks the behavioral consequence:
+    both piles must settle to the same height profile."""
+    import dataclasses
+
+    from surtr_tpu.physics.step import _broadphase, _broadphase_sorted
+
+    rng = np.random.RandomState(7)
+    side = 6
+    n = side**3  # 216
+    idx = np.arange(n)
+    xs = np.stack(
+        [idx % side, (idx // side) % side, idx // side**2], 1
+    ).astype(np.float32)
+    offs = xs * 1.05 + rng.uniform(-0.02, 0.02, (n, 3)).astype(np.float32)
+    offs[:, 1] -= 1.45
+
+    centers = jnp.asarray(offs)
+    lo = centers - 0.55
+    hi = centers + 0.55
+    owner = jnp.arange(n, dtype=jnp.int32)
+    valid = jnp.ones((n,), bool)
+    K = 8
+    pe, oke = _broadphase(centers, lo, hi, owner, valid, K, 512)
+    ps, oks, _, _, _ = _broadphase_sorted(centers, lo, hi, owner, valid, K, 32)
+
+    def pairs(pi, ok):
+        pi, ok = np.asarray(pi), np.asarray(ok)
+        i, k = np.nonzero(ok)
+        j = pi[i, k]
+        return set(zip(np.minimum(i, j).tolist(), np.maximum(i, j).tolist()))
+
+    se, ss = pairs(pe, oke), pairs(ps, oks)
+    miss = len(se - ss) / max(len(se), 1)
+    assert miss <= 0.35, f"Morton-window miss rate {miss:.2%} exceeds bound"
+
+    # Behavioral equivalence: both broadphases settle the pile to the same
+    # height profile (missed candidates redistribute contacts, they must
+    # not let the pile sink or interpenetrate).
+    cfg_e = dataclasses.replace(
+        PCFG, broadphase="exact", single_piece_bodies=True
+    )
+    cfg_s = dataclasses.replace(
+        PCFG, broadphase="sorted", single_piece_bodies=True
+    )
+    s0 = build_scene(make_pieces(offs.tolist(), list(range(n))), cfg_e)
+    step_e = jax.jit(lambda s: physics_step(s, cfg_e))
+    step_s = jax.jit(lambda s: physics_step(s, cfg_s))
+    s_e, s_s = s0, s0
+    for _ in range(240):
+        s_e = step_e(s_e)
+        s_s = step_s(s_s)
+    ye = np.sort(np.asarray(s_e.bodies.x[:, 1]))
+    ys = np.sort(np.asarray(s_s.bodies.x[:, 1]))
+    # Bulk structure stays comparable. The measured gap (sorted settles
+    # ~0.14 higher on this pile) IS the behavioral cost of the window
+    # approximation — the bound here is a regression tripwire, not a
+    # claim of equivalence (ROADMAP documents the honest fix options).
+    # (Per-layer profiles diverge chaotically — topple patterns differ —
+    # so only bulk statistics are asserted.)
+    assert abs(ye.mean() - ys.mean()) < 0.2, (ye.mean(), ys.mean())
+    # nothing sank through the ground
+    assert ys.min() > -1.7 and ye.min() > -1.7
