@@ -540,30 +540,31 @@ def prepare_fracture(
         )
         tol_c = 1e-4 * mas
 
-        def cull_chunk(args):
-            pl, pm_ = args                                     # (b,Kp,4)
+        def cull_one(args):
+            pl, pm_ = args                                     # (Kp,4),(Kp,)
             d = (
-                pl[..., 0:1] * cent_t[None, None, :, 0]
-                + pl[..., 1:2] * cent_t[None, None, :, 1]
-                + pl[..., 2:3] * cent_t[None, None, :, 2]
-                + pl[..., 3:4]
-            )                                                  # (b,Kp,T)
+                pl[:, 0:1] * cent_t[None, :, 0]
+                + pl[:, 1:2] * cent_t[None, :, 1]
+                + pl[:, 2:3] * cent_t[None, :, 2]
+                + pl[:, 3:4]
+            )                                                  # (Kp, T)
             sep = jnp.any(
-                (d > rad_t[None, None, :] + tol_c) & pm_[:, :, None], axis=1
+                (d > rad_t[None, :] + tol_c) & pm_[:, None], axis=0
             )
-            keep = tmask[None, :] & ~sep                       # (b, T)
+            keep = tmask & ~sep                                # (T,)
             score = jnp.where(
                 keep, -jnp.arange(Tsrc, dtype=jnp.float32), -BIG
             )
             _, idx = jax.lax.top_k(score, cull_cap)
-            sel_ok = jnp.take_along_axis(keep, idx, axis=1)
-            over = jnp.maximum(
-                jnp.sum(keep, axis=1) - cull_cap, 0
+            return idx, keep[idx], jnp.maximum(
+                jnp.sum(keep) - cull_cap, 0
             )
-            return idx, sel_ok, over
 
+        # lax.map applies cull_one per CELL; batch_size only controls the
+        # internal vectorization chunk (bounds the (chunk, Kp, T) distance
+        # tensor).
         cidx, csel, cull_over = jax.lax.map(
-            cull_chunk, (cell_planes, cell_pmask), batch_size=128
+            cull_one, (cell_planes, cell_pmask), batch_size=128
         )
         ctris = tri_corners[cidx]                              # (C,cap,3,3)
 

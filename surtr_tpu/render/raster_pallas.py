@@ -182,6 +182,12 @@ def rasterize_ids_pallas(
     depth, tid = pl.pallas_call(
         kernel,
         grid=(nty * ntx,),
+        compiler_params=pltpu.CompilerParams(
+            # The resident output tiles + triangle tables exceed the 16 MB
+            # default scoped-VMEM budget at fused-frame triangle counts
+            # (measured 65 MB at 16k triangles / 1024² shadow).
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=[
             pl.BlockSpec((T_pad, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
             for _ in range(10)
