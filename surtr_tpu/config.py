@@ -153,6 +153,12 @@ class PhysicsConfig:
     force_pallas_narrowphase: bool = False
                                    # run the Pallas narrowphase off-TPU
                                    # (interpret mode) — parity tests
+    fused_prep: bool = True        # TPU single-piece path: fuse contact prep
+                                   # (slot assembly, k terms, targets, mass
+                                   # splitting, solver lane packing) into one
+                                   # Pallas kernel (physics/prep_pallas.py).
+                                   # The XLA prep is ~60 small ops whose
+                                   # per-op overhead measured ~6.5 ms at 10k
     banded_solver: bool = False    # single launch for ALL solver iterations:
                                    # contacts permuted into Morton-sorted
                                    # order (broadphase="sorted" only) where

@@ -120,56 +120,18 @@ def _solver_iter_kernel(
     ovw_ref[:] = out
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("K", "M", "G", "iters", "substeps", "mu", "interpret"),
-)
-def solve_contacts_pallas(
-    v0, w0, pair_body, rA, rB, nrm, m_eff, target, hit, is_static,
-    iA_m, sA, iA_I,
-    K: int, M: int, G: int, iters: int, substeps: int, mu: float,
-    interpret: bool = False,
+def solve_packed(
+    vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
+    *, K: int, M: int, G: int, iters: int, substeps: int, mu: float,
+    Np: int, interpret: bool = False, BN: int = 512,
 ):
-    """Run ``iters`` fused Jacobi iterations. Single-piece-bodies layout:
-    every (Np, ...) row is its own body.
-
-    v0/w0: (Np, 3); pair_body: (Np, K) partner body per pair; rA/rB/nrm:
-    (Np, C, 3); m_eff/target/hit/is_static: (Np, C); iA_m/sA: (Np,);
-    iA_I: (Np, 3, 3). Returns (v, w).
-    """
-    Np = v0.shape[0]
+    """Iteration loop over pre-packed lane-layout tables (row-padded to a
+    BN multiple). ``vw0``: (Np_pad, 8). Returns (v, w) unpadded."""
     C = K * M + G
-    BN = 512
-    Np_pad = ((Np + BN - 1) // BN) * BN
-    # Tightly packed lane layouts (contact tables re-stream on every
-    # launch — lane padding directly multiplies solver HBM traffic).
-    P3 = ((3 * C + 127) // 128) * 128
-    P2 = ((2 * C + 127) // 128) * 128
+    Np_pad = vw0.shape[0]
+    P3 = rA_p.shape[1]
+    P2 = mt_p.shape[1]
     K6p = ((8 * K + 127) // 128) * 128
-
-    padr = lambda a: jnp.pad(a, ((0, Np_pad - Np),) + ((0, 0),) * (a.ndim - 1))
-
-    def pack3(a):  # (Np, C, 3) → (Np_pad, P3) as [x|y|z] blocks
-        comps = [a[..., i] for i in range(3)]
-        out = jnp.concatenate(comps, axis=1)
-        return jnp.pad(out, ((0, Np_pad - Np), (0, P3 - 3 * C)))
-
-    def pack2(a, b):  # two (Np, C) → (Np_pad, P2) [a | b]
-        out = jnp.concatenate([a, b], axis=1)
-        return jnp.pad(out, ((0, Np_pad - Np), (0, P2 - 2 * C)))
-
-    rA_p, rB_p, n_p = pack3(rA), pack3(rB), pack3(nrm)
-    mt_p = pack2(m_eff, target)
-    hs_p = pack2(hit.astype(jnp.float32), is_static.astype(jnp.float32))
-    scale = padr(
-        jnp.stack(
-            [iA_m * sA, sA] + [jnp.zeros_like(sA)] * 6, axis=1
-        )
-    )                                                   # (Np_pad, 8)
-    iAI_p = jnp.pad(
-        iA_I.reshape(Np, 9), ((0, Np_pad - Np), (0, 7))
-    )                                                   # (Np_pad, 16)
-    pb = jnp.clip(pair_body, 0, Np - 1)
 
     S = max(1, substeps)
     outer = (iters + S - 1) // S
@@ -207,8 +169,65 @@ def solve_contacts_pallas(
         )
         return out, None
 
+    vw, _ = jax.lax.scan(one_iter, vw0, None, length=outer)
+    return vw[:Np, 0:3], vw[:Np, 3:6]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "M", "G", "iters", "substeps", "mu", "interpret"),
+)
+def solve_contacts_pallas(
+    v0, w0, pair_body, rA, rB, nrm, m_eff, target, hit, is_static,
+    iA_m, sA, iA_I,
+    K: int, M: int, G: int, iters: int, substeps: int, mu: float,
+    interpret: bool = False,
+):
+    """Run ``iters`` fused Jacobi iterations. Single-piece-bodies layout:
+    every (Np, ...) row is its own body.
+
+    v0/w0: (Np, 3); pair_body: (Np, K) partner body per pair; rA/rB/nrm:
+    (Np, C, 3); m_eff/target/hit/is_static: (Np, C); iA_m/sA: (Np,);
+    iA_I: (Np, 3, 3). Returns (v, w).
+    """
+    Np = v0.shape[0]
+    C = K * M + G
+    BN = 512
+    Np_pad = ((Np + BN - 1) // BN) * BN
+    # Tightly packed lane layouts (contact tables re-stream on every
+    # launch — lane padding directly multiplies solver HBM traffic).
+    P3 = ((3 * C + 127) // 128) * 128
+    P2 = ((2 * C + 127) // 128) * 128
+
+    padr = lambda a: jnp.pad(a, ((0, Np_pad - Np),) + ((0, 0),) * (a.ndim - 1))
+
+    def pack3(a):  # (Np, C, 3) → (Np_pad, P3) as [x|y|z] blocks
+        comps = [a[..., i] for i in range(3)]
+        out = jnp.concatenate(comps, axis=1)
+        return jnp.pad(out, ((0, Np_pad - Np), (0, P3 - 3 * C)))
+
+    def pack2(a, b):  # two (Np, C) → (Np_pad, P2) [a | b]
+        out = jnp.concatenate([a, b], axis=1)
+        return jnp.pad(out, ((0, Np_pad - Np), (0, P2 - 2 * C)))
+
+    rA_p, rB_p, n_p = pack3(rA), pack3(rB), pack3(nrm)
+    mt_p = pack2(m_eff, target)
+    hs_p = pack2(hit.astype(jnp.float32), is_static.astype(jnp.float32))
+    scale = padr(
+        jnp.stack(
+            [iA_m * sA, sA] + [jnp.zeros_like(sA)] * 6, axis=1
+        )
+    )                                                   # (Np_pad, 8)
+    iAI_p = jnp.pad(
+        iA_I.reshape(Np, 9), ((0, Np_pad - Np), (0, 7))
+    )                                                   # (Np_pad, 16)
+    pb = jnp.clip(pair_body, 0, Np - 1)
+
     vw0 = jnp.pad(
         jnp.concatenate([v0, w0], axis=1), ((0, Np_pad - Np), (0, 2))
     )
-    vw, _ = jax.lax.scan(one_iter, vw0, None, length=outer)
-    return vw[:Np, 0:3], vw[:Np, 3:6]
+    return solve_packed(
+        vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
+        K=K, M=M, G=G, iters=iters, substeps=substeps, mu=mu,
+        Np=Np, interpret=interpret, BN=BN,
+    )

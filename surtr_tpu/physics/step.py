@@ -200,6 +200,18 @@ def _stage_out(scene: PhysicsScene, *arrays) -> PhysicsScene:
     return dataclasses.replace(scene, bodies=new_bodies)
 
 
+def _ground_contacts(cfg, wverts, wmask, pvalid):
+    """Stage 3c: deepest G verts below y = ground_y. Returns
+    g_pts (Np, G, 3), gd (Np, G), g_hit (Np, G)."""
+    G = cfg.max_ground_contacts
+    depth_v = cfg.ground_y - wverts[..., 1]
+    below = wmask & (depth_v > -cfg.contact_slop)
+    gd, gidx = jax.lax.top_k(jnp.where(below, depth_v, -BIG), G)
+    g_hit = (gd > -cfg.contact_slop) & pvalid[:, None]
+    g_pts = jnp.take_along_axis(wverts, gidx[..., None], axis=1)
+    return g_pts, gd, g_hit
+
+
 def _segment_sums(piece_vals: jax.Array, seg_start: jax.Array):
     """Per-body sums of piece values when pieces are sorted by owner.
 
@@ -507,6 +519,21 @@ def physics_step(
     mvals = mvals.at[:, :, 0].set(jnp.where(none, depth, mvals[:, :, 0]))
     mhit = mhit.at[:, :, 0].set(mhit[:, :, 0] | none)
 
+    # Fused Pallas prep+solve fast path: skip the slot-major transposes and
+    # the XLA prep entirely (see prep_pallas.py).
+    if (
+        single
+        and cfg.fused_prep
+        and not cfg.banded_solver
+        and (on_tpu or cfg.force_pallas_solver)
+        and profile_stage > 3
+    ):
+        return _fused_prep_solve(
+            scene, cfg, profile_stage, bodies, Np, K, G, M,
+            wverts, wmask, owner, pvalid, pidx,
+            mpts, mvals, mhit, pc_n, on_tpu,
+        )
+
     # Slot ordering is TILED over pairs (slot = m·K + k): the fused Pallas
     # solver re-expands per-pair partner velocities with pltpu.repeat, which
     # tiles — all slot arrays must share that ordering.
@@ -526,6 +553,82 @@ def physics_step(
     )
 
 
+def _fused_prep_solve(
+    scene, cfg, profile_stage, bodies, Np, K, G, M,
+    wverts, wmask, owner, pvalid, pidx, mpts, mvals, mhit, pc_n, on_tpu,
+):
+    """Single-piece fast path: one Pallas kernel does all of contact prep
+    (ground slots already appended here in planar lane form) and emits the
+    solver's packed tables; the slot-major (Np, C, ·) tensors and the
+    per-op-overhead-bound XLA prep never run. See prep_pallas.py."""
+    from surtr_tpu.physics.prep_pallas import (
+        prep_and_solve, prep_contacts_pallas,
+    )
+
+    dt = cfg.dt
+    f32 = wverts.dtype
+    g_pts, gd, g_hit = _ground_contacts(cfg, wverts, wmask, pvalid)
+
+    # Planar slot tables, slot = m·K + k then G ground lanes.
+    pt3 = jnp.concatenate(
+        [mpts[:, :, m, 0] for m in range(M)] + [g_pts[..., 0]]
+        + [mpts[:, :, m, 1] for m in range(M)] + [g_pts[..., 1]]
+        + [mpts[:, :, m, 2] for m in range(M)] + [g_pts[..., 2]],
+        axis=1,
+    )                                                      # (Np, 3C)
+    dh = jnp.concatenate(
+        [jnp.maximum(mvals[:, :, m], 0.0) for m in range(M)]
+        + [jnp.maximum(gd, 0.0)]
+        + [mhit[:, :, m].astype(f32) for m in range(M)]
+        + [g_hit.astype(f32)],
+        axis=1,
+    )                                                      # (Np, 2C)
+    pn3 = jnp.concatenate(
+        [pc_n[..., 0], pc_n[..., 1], pc_n[..., 2]], axis=1
+    )                                                      # (Np, 3K)
+
+    inv_m = bodies.inv_mass
+    inv_I = world_inv_inertia(bodies.q, bodies.inv_inertia_body)
+    do_sleep = cfg.sleep_velocity > 0
+    if do_sleep:
+        asleep_in = (scene.sleep_frames >= cfg.sleep_frames) & bodies.active
+    else:
+        asleep_in = jnp.zeros((Np,), bool)
+    gravity = jnp.array([0.0, cfg.gravity, 0.0], f32)
+    grav_on = (inv_m > 0) & ~asleep_in
+    v0 = bodies.v + dt * gravity * grav_on[:, None]
+    w0 = bodies.w
+
+    btab = jnp.concatenate(
+        [bodies.x, inv_m[:, None], inv_I.reshape(Np, 9), v0, w0,
+         asleep_in.astype(f32)[:, None]],
+        axis=1,
+    )                                                      # (Np, 20)
+    pb = jnp.clip(pidx, 0, Np - 1)
+    btf = jnp.swapaxes(btab[pb], 1, 2).reshape(Np, 20 * K)
+    own = jnp.concatenate(
+        [bodies.x, v0, w0, inv_m[:, None], inv_I.reshape(Np, 9)], axis=1
+    )                                                      # (Np, 19)
+
+    kw = dict(
+        K=K, M=M, G=G, dt=dt, slop=cfg.contact_slop,
+        baumgarte=cfg.baumgarte, restitution=cfg.restitution,
+        bounce_thr=cfg.bounce_threshold, interpret=not on_tpu,
+    )
+    if profile_stage == 35:  # contact prep only (solver loop excluded)
+        packed = prep_contacts_pallas(pt3, dh, pn3, btf, own, **kw)
+        return _stage_out(scene, *packed[:7])
+    v1, w1, vn0, hit, stat = prep_and_solve(
+        pt3, dh, pn3, btf, own, pidx, v0, w0,
+        iters=cfg.solver_iters, substeps=max(1, cfg.solver_substeps),
+        mu=cfg.dynamic_friction, **kw,
+    )
+    return _finish_step(
+        scene, bodies, v1, w1, dt, cfg, profile_stage,
+        vn0, hit, stat, True, owner,
+    )
+
+
 def _assemble_and_solve(
     scene, cfg, profile_stage, bodies, Np, B, K, G, M, C, single,
     wverts, wmask, owner, pvalid, x_own, pidx, pok,
@@ -535,13 +638,8 @@ def _assemble_and_solve(
     """Stages 3c-4, shared by the XLA and Pallas narrowphase paths:
     ground contacts, (Np, C) slot assembly, sleeping, the solver dispatch."""
     dt = cfg.dt
-    big = jnp.asarray(BIG, wverts.dtype)
     # --- 3c. ground contacts: deepest G verts below y = ground_y.
-    depth_v = cfg.ground_y - wverts[..., 1]
-    below = wmask & (depth_v > -cfg.contact_slop)
-    gd, gidx = jax.lax.top_k(jnp.where(below, depth_v, -BIG), G)
-    g_hit = (gd > -cfg.contact_slop) & pvalid[:, None]
-    g_pts = jnp.take_along_axis(wverts, gidx[..., None], axis=1)
+    g_pts, gd, g_hit = _ground_contacts(cfg, wverts, wmask, pvalid)
     up = jnp.zeros((Np, G, 3), wverts.dtype).at[..., 1].set(1.0)
 
     # --- assemble (Np, C) contact slots.
