@@ -75,6 +75,18 @@ class FractureConfig:
                                  # (conservative toward keeping contact,
                                  # saves a top-k + scatter per event)
 
+    voronoi_prefix: int = 16     # two-pass Voronoi clip: fold the walls +
+                                 # this many NEAREST bisectors first, then
+                                 # fold the remaining bisectors masked by
+                                 # the provable no-cut bound
+                                 # n·s + d + R ≤ tol (R = pass-1 cell
+                                 # vertex radius about its seed) — with
+                                 # nearest-first sorting nearly every tail
+                                 # plane is provably non-cutting, so the
+                                 # Pallas fold's block-level skip reduces
+                                 # those steps to a distance test. Exact:
+                                 # a masked plane cannot cut its cell.
+                                 # 0 = single-pass fold of all planes
     voronoi_exact_topk: bool = False
                                  # True = exact top_k for the k-nearest
                                  # bisector selection; False = TPU

@@ -217,6 +217,59 @@ def _cell_plane_sets(
     return jnp.concatenate([n, d], axis=-1), pmask
 
 
+def _two_pass_cell_clip(poly_b, cell_planes, cell_pmask, seeds_w, prefix):
+    """Voronoi cell fold in two passes. Plane lists are ordered
+    [domain walls, bisectors nearest-first] (_cell_plane_sets), so the
+    block-level no-cut skip in the Pallas kernel fires for essentially
+    every plane step when folding all of them (a block of 128 cells has
+    SOME cell cut by its k-th bisector until k is large). Pass 1 folds
+    the walls + ``prefix`` nearest bisectors; the remaining planes can cut
+    cell i only if n·s_i + d + R_i > tol, where R_i is the pass-1 cell's
+    vertex radius about its seed (for every cell vertex v:
+    n·v + d ≤ n·s + d + |v − s| ≤ n·s + d + R). Pass 2 folds the tail
+    with that mask — provably exact, and almost all tail steps become
+    masked distance tests. ``prefix`` ≤ 0 or a short plane list falls
+    back to the single-pass fold."""
+    Kt = cell_planes.shape[1]
+    K1 = 6 + prefix
+    if prefix <= 0 or K1 >= Kt:
+        return clip_planes_batch(poly_b, cell_planes, cell_pmask)
+    conv = clip_planes_batch(
+        poly_b, cell_planes[:, :K1], cell_pmask[:, :K1]
+    )
+    # Exact tail filter: plane can affect the final cell only if it cuts
+    # the (larger) pass-1 cell, i.e. its support over the pass-1 vertices
+    # is positive. Computed as broadcast multiply-adds (VPU; no bf16
+    # matmul). Margin 0 vs the kernel's cut tolerance keeps the filter
+    # conservative: a kept no-op plane costs one masked kernel step.
+    fv = conv.face_verts
+    tn = cell_planes[:, K1:, :3]                           # (C, K2, 3)
+    td = cell_planes[:, K1:, 3]
+    d = (
+        tn[:, :, None, None, 0] * fv[:, None, :, :, 0]
+        + tn[:, :, None, None, 1] * fv[:, None, :, :, 1]
+        + tn[:, :, None, None, 2] * fv[:, None, :, :, 2]
+        + td[:, :, None, None]
+    )                                                      # (C, K2, F, S)
+    smax = jnp.max(
+        jnp.where(conv.slot_mask()[:, None], d, -BIG), axis=(2, 3)
+    )
+    need = cell_pmask[:, K1:] & (smax > 0.0)
+    # Compact needed planes to the front of each cell's tail (original
+    # order preserved among them) so the Pallas block-skip reduces every
+    # slot past the block's max needed count to a distance test.
+    K2 = Kt - K1
+    score = jnp.where(
+        need, -jnp.arange(K2, dtype=fv.dtype)[None], -BIG
+    )
+    _, ord_idx = jax.lax.top_k(score, K2)
+    tail = jnp.take_along_axis(
+        cell_planes[:, K1:], ord_idx[..., None], axis=1
+    )
+    tmask = jnp.take_along_axis(need, ord_idx, axis=1)
+    return clip_planes_batch(conv, tail, tmask)
+
+
 def _split_mesh_islands(conv, mtris, mmask, solid_t, solid_m, mas, cfg):
     """CheckMeshIsland (Surtr.cpp:2157-2201) over a candidate batch.
 
@@ -432,7 +485,17 @@ def _split_mesh_islands(conv, mtris, mmask, solid_t, solid_m, mas, cfg):
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+def _psum(*trees):
+    """Fence helper for profile truncation: sum every leaf to one scalar so
+    truncated programs keep all upstream compute live (no DCE)."""
+    s = jnp.float32(0)
+    for t in trees:
+        for a in jax.tree_util.tree_leaves(t):
+            s = s + jnp.sum(a.astype(jnp.float32))
+    return s
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "profile_stage"))
 def prepare_fracture(
     verts: jax.Array,
     vmask: jax.Array,
@@ -441,11 +504,16 @@ def prepare_fracture(
     sphere_cloud: jax.Array,
     key: jax.Array,
     cfg: FractureConfig,
+    profile_stage: int = 99,
 ):
     """Initial decomposition of a loaded model into a single compound.
 
     Returns (PieceSet, FractureContext, metrics dict).
-    """
+
+    ``profile_stage`` truncates after stage N for per-phase device timing
+    (1=ich/kdop/ach, 2=+cell planes, 3=+patterns, 4=+conv clip, 5=+mesh
+    clip, 6=+islands, 7=+finish) returning (fenced scalar, None, None);
+    production callers leave the default."""
     F, S = cfg.max_faces, cfg.max_face_verts
     C = cfg.initial_decompose_cell_cnt
     P = cfg.max_pieces
@@ -481,6 +549,9 @@ def prepare_fracture(
         ),
     )
 
+    if profile_stage <= 1:
+        return _psum(ach), None, None
+
     # 8. Initial Voronoi decomposition (Surtr.cpp:1798-1803). The cells are
     # only ever consumed as half-space lists, so the one-shot decomposition
     # skips cell construction entirely: per seed, the k-nearest bisectors +
@@ -492,6 +563,9 @@ def prepare_fracture(
     cell_planes, cell_pmask = _cell_plane_sets(
         seeds, kN, extent, bb_center, exact_topk=cfg.voronoi_exact_topk
     )
+
+    if profile_stage <= 2:
+        return _psum(ach, cell_planes, cell_pmask), None, None
 
     # 9. Impact fracture patterns, cached in unit space (Surtr.cpp:1806-1807).
     # Radial clouds are extremely clustered: use all-pairs bisectors (k=None),
@@ -505,6 +579,9 @@ def prepare_fracture(
         k=None, F=F, S=S,
     )
 
+    if profile_stage <= 3:
+        return _psum(ach, cell_planes, pp, gp), None, None
+
     ctx = FractureContext(
         bb_center=bb_center,
         bb_min=bb_min,
@@ -517,11 +594,17 @@ def prepare_fracture(
 
     # 10. Initial pieces: ACH ∩ cell, mesh ∩ cell (ApplyFracture on the
     # single pre-compound, Surtr.cpp:1810-1811). One batched plane fold
-    # (Pallas VMEM kernel on TPU) over all C cells.
+    # (Pallas VMEM kernel on TPU) over all C cells — two-pass with the
+    # radius-bound tail mask (see _two_pass_cell_clip).
     ach_b = jax.tree_util.tree_map(
         lambda a: jnp.broadcast_to(a[None], (C,) + a.shape), ach
     )
-    conv = clip_planes_batch(ach_b, cell_planes, cell_pmask)
+    seeds_w = seeds * extent + bb_center
+    conv = _two_pass_cell_clip(
+        ach_b, cell_planes, cell_pmask, seeds_w, cfg.voronoi_prefix
+    )
+    if profile_stage <= 4:
+        return _psum(conv, cell_planes, pp, gp), None, None
 
     # Conservative per-cell triangle culling: at model scale every cell
     # intersects only ~1% of the source mesh, but the naive clip runs all
@@ -581,6 +664,9 @@ def prepare_fracture(
 
         mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
 
+    if profile_stage <= 5:
+        return _psum(conv, mtris, mmask, mdrop, pp, gp), None, None
+
     solid_t = jnp.broadcast_to(tri_corners[None], (C,) + tri_corners.shape)
     solid_m = jnp.broadcast_to(tmask[None], (C,) + tmask.shape)
 
@@ -605,10 +691,16 @@ def prepare_fracture(
         solid_m = jnp.concatenate([solid_m, g(solid_m)])
         cand_ok = jnp.concatenate([cand_ok, x_valid])
 
+    if profile_stage <= 6:
+        return _psum(conv, mtris, mmask, cand_ok, pp, gp), None, None
+
     out = _finish_pieces(conv, mtris, mmask, cpl, cpm, solid_t, solid_m, mas, cfg)
     conv, mtris, mmask, cand_valid = out
     cand_valid = cand_valid & cand_ok
     N = cand_valid.shape[0]
+
+    if profile_stage <= 7:
+        return _psum(conv, mtris, mmask, cand_valid, pp, gp), None, None
 
     # Pack into the PieceSet pool (group 0 — one initial compound).
     vol, _ = moments(conv)

@@ -117,7 +117,10 @@ def ich(
     priority = jnp.sum(jnp.maximum(v0, 0.0), axis=1)
     priority = jnp.where(mask & ~processed, priority, big_neg)
 
-    n_insert = max(limit - 4, 0)
+    # Insertions beyond the point count are no-ops (every point processed →
+    # `can` is False); clamping to the static pool size drops them from the
+    # compiled loop (the 8-vert cube workload pays 4 iterations, not 16).
+    n_insert = max(min(limit, N) - 4, 0)
 
     def body(_, carry):
         faces, fvalid, processed, priority = carry
