@@ -153,15 +153,15 @@ class PhysicsConfig:
                                    # run the fused Pallas solver even off-TPU
                                    # (interpret mode) — used by tests to
                                    # check parity with the XLA solver
-    pallas_narrowphase: bool = False
+    pallas_narrowphase: bool = True
                                    # TPU: fused Pallas SAT+manifold kernel
-                                   # (physics/narrowphase_pallas.py). OFF:
-                                   # measured 33 ms vs the XLA path's
-                                   # 6.6 ms at 10k — the (BN, 32, 32) 3D
-                                   # tensors tile at 32 of 128 lanes (25%
-                                   # VPU utilization); needs a 128-lane-
-                                   # minor reformulation before it can win
-                                   # (see ROADMAP)
+                                   # (physics/narrowphase_pallas.py),
+                                   # batch-minor v2 layout (lanes = pairs).
+                                   # Measured at 10k pieces: narrowphase
+                                   # slice 6.3 -> 3.0 ms, full step
+                                   # 14.8 -> 11.5 ms. (The v1 layout with
+                                   # geometry on lanes used 32 of 128
+                                   # lanes and lost 5x; see module doc.)
     force_pallas_narrowphase: bool = False
                                    # run the Pallas narrowphase off-TPU
                                    # (interpret mode) — parity tests

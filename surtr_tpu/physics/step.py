@@ -337,14 +337,31 @@ def physics_step(
         Dp_ = packed_p.shape[1]
         pjf = packed_p[pidx].reshape(Np, K * Dp_)
 
-        pc_n, _depth, _pair_hit, pc_p, mvals_t, pc_hit = (
+        pc_n, _depth, _pair_hit, mpts, mvals, mhit = (
             narrowphase_pairs_pallas(
                 packed_p, pjf, pok,
                 Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
                 interpret=not on_tpu,
             )
         )
-        pc_d = jnp.maximum(mvals_t, 0.0)
+        if (
+            single
+            and cfg.fused_prep
+            and not cfg.banded_solver
+            and (on_tpu or cfg.force_pallas_solver)
+            and profile_stage > 3
+        ):
+            return _fused_prep_solve(
+                scene, cfg, profile_stage, bodies, Np, K, G, M,
+                wverts, wmask, owner, pvalid, pidx,
+                mpts, mvals, mhit, pc_n, on_tpu,
+            )
+        # Slot-major tiling for the general (XLA-prep) path.
+        pc_p = jnp.transpose(mpts, (0, 2, 1, 3)).reshape(Np, K * M, 3)
+        pc_d = jnp.maximum(
+            jnp.transpose(mvals, (0, 2, 1)).reshape(Np, K * M), 0.0
+        )
+        pc_hit = jnp.transpose(mhit, (0, 2, 1)).reshape(Np, K * M)
         pc_nrm = jnp.tile(pc_n, (1, M, 1))
         pc_partner = jnp.tile(pidx, (1, M))
         return _assemble_and_solve(
