@@ -200,14 +200,26 @@ class PhysicsConfig:
                                    # sleeping body
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
-    broadphase: str = "auto"       # "sorted" = Morton-window sweep (O(N·W));
-                                   # "exact" = blocked all-pairs (O(N²/block));
-                                   # "auto" = exact when the piece pool fits
-                                   # one sweep block (small scenes, where
-                                   # exact is cheap and the Morton window's
-                                   # locality approximation buys nothing),
-                                   # sorted above it
+    broadphase: str = "auto"       # "sorted" = Morton-window sweep (O(N·W),
+                                   #   ~1.8 ms at 10k; misses spatial
+                                   #   neighbors > window apart in Morton
+                                   #   order — a measured 20-30% of exact
+                                   #   top-K pairs on dense piles);
+                                   # "grid"   = uniform-grid buckets: FULL
+                                   #   recall up to broadphase_bucket_cap
+                                   #   pieces per probed cell (misses only
+                                   #   on bucket overflow — the observable-
+                                   #   cap policy; ~20 ms at 10k: XLA TPU
+                                   #   row gathers dominate);
+                                   # "exact"  = blocked all-pairs
+                                   #   (O(N²/block), 5.7 ms at 10k);
+                                   # "auto"   = exact when the piece pool
+                                   #   fits one sweep block (small scenes,
+                                   #   where exact is cheap), sorted above
     broadphase_window: int = 32    # sorted-order neighbors tested per side
+    broadphase_bucket_cap: int = 8 # grid: members tested per probed cell
+                                   # (27 cells ⇒ ≤ 216 exact AABB tests
+                                   # per piece)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,6 +88,101 @@ def _broadphase(centers, lo, hi, owner, valid, K, block):
     return idx.reshape(-1, K)[:Np], ok.reshape(-1, K)[:Np]
 
 
+def _broadphase_grid(centers, lo, hi, owner, valid, K, cap):
+    """Uniform-grid broadphase: FULL recall up to ``cap`` members per cell.
+
+    Cell size = the largest piece AABB extent, so any overlapping pair's
+    centers land within one cell of each other per axis — each piece needs
+    only its 27 neighbor cells. Pieces sort once by packed cell key
+    (10 bits/axis); each neighbor cell's members are a CONTIGUOUS run of
+    the sorted table found by ``searchsorted``, so candidate assembly is
+    one (Np, 27·cap) row gather. Candidates get the exact AABB test, and
+    the K nearest survive.
+
+    Unlike the Morton-window sweep (whose misses depend on space-filling-
+    curve locality and are unbounded), this path misses a pair ONLY when a
+    probed three-cell column holds more than ``3·cap`` pieces — the same
+    observable-cap policy as the K-neighbor limit itself.
+
+    Measured at 10k on the axon v5e: ~20 ms — the (Np, 27·cap) candidate
+    row gather and the batched searchsorted dominate (this backend's XLA
+    gathers are ~ms-scale at these shapes), so the Morton-window sweep
+    stays the large-scene default and this is the opt-in full-recall mode.
+    """
+    Np = centers.shape[0]
+    f = centers.dtype
+    big = jnp.asarray(BIG, f)
+    ext = jnp.max(jnp.where(valid[:, None], hi - lo, 0.0))
+    h = jnp.maximum(ext, 1e-6) * (1.0 + 1e-5)
+    wlo = jnp.min(jnp.where(valid[:, None], centers, big), axis=0)
+    # +1 so the -1 neighbor offset cannot underflow a field; clipping far
+    # pieces into the boundary cell adds candidates (and counted overflow),
+    # never misses.
+    cc = jnp.clip(
+        jnp.floor((centers - wlo) / h).astype(jnp.int32) + 1, 1, 1022
+    )
+    key = (cc[:, 0] << 20) | (cc[:, 1] << 10) | cc[:, 2]
+    key = jnp.where(valid, key, jnp.int32(0x7F000000))
+
+    order = jnp.argsort(key)
+    keys_s = key[order]
+    pack = jnp.concatenate(
+        [centers, lo, hi, owner[:, None].astype(f),
+         valid[:, None].astype(f)],
+        axis=1,
+    )[order]                                        # (Np, 11) one gather
+    orig_s = order.astype(jnp.int32)
+
+    # z is the LOW key field, so a (dx, dy) neighbor COLUMN's three cells
+    # z-1..z+1 are one contiguous run [key(dx,dy,-1), key(dx,dy,+1)] of the
+    # sorted table — 9 column probes instead of 27 cell probes. Arithmetic
+    # (not bitwise-OR) combination: negative offsets must borrow across
+    # the packed fields. One batched sort-method lookup for every [start,
+    # end) (the scan method is a sequential loop, ~4× slower here, and a
+    # per-candidate key gather to test membership costs more than the
+    # whole candidate-row gather).
+    dcols = [
+        dx * (1 << 20) + dy * (1 << 10)
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ]
+    dc = jnp.asarray(dcols, jnp.int32)[None, :]
+    se = jnp.searchsorted(
+        keys_s,
+        jnp.concatenate(
+            [keys_s[:, None] + (dc - 1), keys_s[:, None] + (dc + 2)], axis=1
+        ).ravel(),
+        method="sort",
+    ).reshape(Np, 18)
+    start, end = se[:, :9], se[:, 9:]
+    ccap = 3 * cap
+    ranks = (
+        start[:, :, None] + jnp.arange(ccap, dtype=jnp.int32)[None, None]
+    ).reshape(Np, 9 * ccap)
+    rk = jnp.clip(ranks, 0, Np - 1)
+    in_cell = ranks < jnp.repeat(end, ccap, axis=1)
+
+    cand = pack[rk]                                 # (Np, 27·cap, 11)
+    cj, loj, hij = cand[..., 0:3], cand[..., 3:6], cand[..., 6:9]
+    ownj = cand[..., 9].astype(jnp.int32)
+    valj = cand[..., 10] > 0.5
+    c_s, lo_s, hi_s = pack[:, 0:3], pack[:, 3:6], pack[:, 6:9]
+    own_s = pack[:, 9].astype(jnp.int32)
+    val_s = pack[:, 10] > 0.5
+    overlap = jnp.all((lo_s[:, None] <= hij) & (loj <= hi_s[:, None]), -1)
+    ok = (
+        overlap & in_cell & valj & val_s[:, None]
+        & (ownj != own_s[:, None]) & (rk != jnp.arange(Np)[:, None])
+    )
+    d2 = jnp.sum((c_s[:, None] - cj) ** 2, axis=-1)
+    score = jnp.where(ok, -d2, -BIG)
+    neg, kidx = jax.lax.top_k(score, K)             # (Np, K) into 27·cap
+    part_rank = jnp.take_along_axis(rk, kidx, axis=1)
+    pok_s = neg > -BIG / 2
+    inv = jnp.argsort(order)
+    pidx = orig_s[part_rank][inv]
+    return pidx, pok_s[inv]
+
+
 def _morton(centers, valid):
     """30-bit Morton code of quantized centers; invalid rows sort last."""
     big = jnp.asarray(BIG, centers.dtype)
@@ -290,6 +385,12 @@ def physics_step(
             centers, lo, hi, scene.piece_owner, pvalid, K,
             cfg.broadphase_window,
         )
+    elif bp_mode == "grid":
+        pidx, pok = _broadphase_grid(
+            centers, lo, hi, scene.piece_owner, pvalid, K,
+            cfg.broadphase_bucket_cap,
+        )
+        bp_order = bp_inv = bp_delta = None
     else:
         pidx, pok = _broadphase(
             centers, lo, hi, scene.piece_owner, pvalid, K,
