@@ -197,7 +197,14 @@ class PhysicsConfig:
                                    # sleeping bodies either way
     sleep_frames: int = 30         # consecutive slow steps before sleeping
     wake_speed: float = 0.2        # contact approach speed that wakes a
-                                   # sleeping body
+                                   # sleeping body immediately
+    wake_push_frames: int = 8      # consecutive steps of sustained contact
+                                   # approach ≥ sleep_velocity that wake a
+                                   # sleeping body — a creeping pile pushes
+                                   # steadily (the PhysX island-wake case),
+                                   # while a settling neighbor's Baumgarte
+                                   # bounce cycle separates or reverses
+                                   # every few frames and resets the count
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
     broadphase: str = "auto"       # "sorted" = Morton-window sweep (O(N·W),

@@ -132,6 +132,15 @@ def _prep_kernel(
     vn0 = (vAx - vBx) * nx + (vAy - vBy) * ny + (vAz - vBz) * nz
     bounce = -restitution * jnp.minimum(vn0 + bounce_thr, 0.0)
     bias = (baumgarte / dt) * jnp.maximum(jnp.maximum(dep, 0.0) - slop, 0.0)
+    # Zero the bias against SLEEPING partners (ground lanes keep full
+    # bias): a partner going static doubles this body's share of the
+    # velocity-level bias (~0.19 m/s at resting depth) — a sustained
+    # energy injection that jolted slow neighbors back over the sleep
+    # threshold and made island sleeping thrash forever. Non-penetration
+    # impulses still hold the contact; the residual resting overlap
+    # resolves when the island wakes.
+    sleeper = stat * (1.0 - ground)
+    bias = bias * (1.0 - sleeper)
     targ = jnp.maximum(bounce, bias)
 
     # Mass splitting: per-row contact count.

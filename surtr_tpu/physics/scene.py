@@ -42,6 +42,11 @@ class PhysicsScene:
     seg_start: jax.Array     # (B+1,) piece-run offsets per body (sorted owner)
     sleep_frames: jax.Array  # (B,) i32 consecutive slow steps (body sleeping,
                              # PhysX putToSleep analogue; SURVEY §2.2 T2)
+    push_frames: jax.Array   # (B,) i32 consecutive steps a SLEEPING body's
+                             # contacts showed sustained approach — wakes
+                             # the sleeper after wake_push_frames (the
+                             # creeping-pile anchor fix; bounce cycles
+                             # reset it at every separation/turnaround)
 
     @property
     def B(self) -> int:
@@ -210,6 +215,7 @@ def build_scene(
         piece_emask=(emask & pieces.valid[:, None])[order],
         seg_start=seg_start,
         sleep_frames=jnp.zeros((B,), jnp.int32),
+        push_frames=jnp.zeros((B,), jnp.int32),
     )
 
 

