@@ -35,9 +35,10 @@ BIG = 3.4e38
 
 
 def _raster_tile_kernel(
-    ax_ref, ay_ref, bx_ref, by_ref, cx_ref, cy_ref,
-    za_ref, zb_ref, zc_ref, ok_ref,
-    bx0_ref, bx1_ref, by0_ref, by1_ref,
+    attrs_ref,  # (T_pad, 10): ax ay bx by cx cy za zb zc ok — one VMEM
+    # buffer instead of ten (T_pad, 1) columns, each of which would be
+    # lane-padded to 128 and cost 10× the VMEM.
+    bbox_ref,   # (nblk, 4): bx0 bx1 by0 by1 per chunk
     depth_ref, tid_ref,
     *, TH: int, TW: int, CHUNK: int, T_pad: int, ntx: int,
 ):
@@ -58,10 +59,8 @@ def _raster_tile_kernel(
     def body(b, carry):
         # Chunk-level binning reject: triangles are tile-sorted, so the
         # chunk bbox is tight and most chunks miss most tiles.
-        cbx0 = bx0_ref[pl.ds(b, 1), :][0, 0]
-        cbx1 = bx1_ref[pl.ds(b, 1), :][0, 0]
-        cby0 = by0_ref[pl.ds(b, 1), :][0, 0]
-        cby1 = by1_ref[pl.ds(b, 1), :][0, 0]
+        cb = bbox_ref[pl.ds(b, 1), :]                         # (1, 4)
+        cbx0, cbx1, cby0, cby1 = cb[0, 0], cb[0, 1], cb[0, 2], cb[0, 3]
         overlap = (
             (cbx0 <= tile_x1) & (cbx1 >= tile_x0)
             & (cby0 <= tile_y1) & (cby1 >= tile_y0)
@@ -69,12 +68,11 @@ def _raster_tile_kernel(
 
         def compute(carry):
             depth, tid = carry
-            sl = lambda r: r[pl.ds(b * CHUNK, CHUNK), :]      # (CHUNK, 1)
-            ax, ay = sl(ax_ref), sl(ay_ref)
-            bx, by = sl(bx_ref), sl(by_ref)
-            cx, cy = sl(cx_ref), sl(cy_ref)
-            za, zb, zc = sl(za_ref), sl(zb_ref), sl(zc_ref)
-            okb = sl(ok_ref) > 0.5
+            blk = attrs_ref[pl.ds(b * CHUNK, CHUNK), :]       # (CHUNK, 10)
+            col = lambda j: blk[:, j:j + 1]                   # (CHUNK, 1)
+            ax, ay, bx, by, cx, cy = (col(j) for j in range(6))
+            za, zb, zc = col(6), col(7), col(8)
+            okb = col(9) > 0.5
             area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
             inv_area = jnp.where(jnp.abs(area) > 1e-12, 1.0 / area, 0.0)
             e0 = (cx - bx) * (py - by) - (cy - by) * (px - bx)  # (CHUNK, PX)
@@ -148,8 +146,6 @@ def rasterize_ids_pallas(
     ok = payload[:, 9] > 0.5
 
     T_pad = ((T + CHUNK - 1) // CHUNK) * CHUNK
-    pad1 = lambda a: jnp.pad(a, ((0, T_pad - T),))[:, None]   # (T_pad, 1)
-    okf = pad1(ok.astype(jnp.float32))
 
     # Per-chunk screen bboxes (masked; empty chunk → inverted bbox that
     # never overlaps).
@@ -170,12 +166,17 @@ def rasterize_ids_pallas(
     by0 = chunk_minmax(sy, True)
     by1 = chunk_minmax(sy, False)
 
-    args = [
-        pad1(sx[:, 0]), pad1(sy[:, 0]), pad1(sx[:, 1]), pad1(sy[:, 1]),
-        pad1(sx[:, 2]), pad1(sy[:, 2]),
-        pad1(sz[:, 0]), pad1(sz[:, 1]), pad1(sz[:, 2]), okf,
-        bx0, bx1, by0, by1,
-    ]
+    # One packed (T_pad, 10) attribute table: ax ay bx by cx cy za zb zc ok.
+    # Ten separate (T_pad, 1) inputs each lane-pad to 128 in VMEM (16 MB
+    # apiece at fused-frame triangle counts — the 10× was a VMEM OOM).
+    attrs = jnp.stack(
+        [sx[:, 0], sy[:, 0], sx[:, 1], sy[:, 1], sx[:, 2], sy[:, 2],
+         sz[:, 0], sz[:, 1], sz[:, 2], ok.astype(sx.dtype)],
+        axis=1,
+    )
+    attrs = jnp.pad(attrs, ((0, T_pad - T), (0, 0)))
+    bbox = jnp.concatenate([bx0, bx1, by0, by1], axis=1)      # (nblk, 4)
+    args = [attrs, bbox]
     kernel = functools.partial(
         _raster_tile_kernel, TH=TH, TW=TW, CHUNK=CHUNK, T_pad=T_pad, ntx=ntx
     )
@@ -183,17 +184,17 @@ def rasterize_ids_pallas(
         kernel,
         grid=(nty * ntx,),
         compiler_params=pltpu.CompilerParams(
-            # The resident output tiles + triangle tables exceed the 16 MB
-            # default scoped-VMEM budget at fused-frame triangle counts
-            # (measured 65 MB at 16k triangles / 1024² shadow).
+            # Resident: packed attr table (T_pad × 128 lanes ≈ 16 MB at the
+            # fused-frame triangle count) + whole-image output tiles.
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         in_specs=[
-            pl.BlockSpec((T_pad, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
-            for _ in range(10)
-        ] + [
-            pl.BlockSpec((nblk, 1), lambda t: (0, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
+            pl.BlockSpec(
+                (T_pad, 10), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (nblk, 4), lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=(
             pl.BlockSpec(
