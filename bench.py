@@ -82,9 +82,11 @@ def bench_decomposition_1k(cfg_overrides=None):
         pieces, ctx, met = prepare_fracture(verts, vm, corners, tm, cloud, key, cfg)
         return pieces.valid, met["total_volume"]
 
-    # Amortize the ~25 ms tunnel dispatch latency over 8 independent events
-    # (steady-state per-event cost is what the north star describes).
-    REP = 8
+    # Amortize the ~25 ms tunnel dispatch latency over 32 independent events
+    # (steady-state per-event cost is what the north star describes; on real
+    # non-tunneled hardware the dispatch floor is ~0.1 ms). The residual
+    # floor-per-event is reported explicitly as dispatch_floor_ms / REP.
+    REP = 32
     keys = jax.random.split(key, REP)
 
     @jax.jit
@@ -193,9 +195,10 @@ def bench_physics_10k(n=10_000):
     )
     scene = build_scene(pieces, pcfg, max_bodies=n)
 
-    # Steady-state frame cost: scan 8 steps per dispatch (amortizes the
-    # ~25 ms tunnel round trip the way a real interactive loop would).
-    REP = 8
+    # Steady-state frame cost: scan 32 steps per dispatch (amortizes the
+    # ~25 ms tunnel round trip the way a real interactive loop would; on
+    # non-tunneled hardware the dispatch floor is ~0.1 ms).
+    REP = 32
 
     @jax.jit
     def run_steps(s):
@@ -377,6 +380,18 @@ def main():
     backend = jax.default_backend()
     t0 = time.time()
     log(f"[bench] backend={backend}")
+
+    # Measured per-dispatch floor of this backend (the axon tunnel adds
+    # ~25 ms per dispatch that real locally-attached TPUs don't have). The
+    # headline metrics amortize it over a REP=32 scan; floor/32 per event
+    # is still INCLUDED in the reported values — this field just makes the
+    # infrastructure share visible.
+    @jax.jit
+    def _null(x):
+        return jax.lax.scan(lambda c, _: (c + 1.0, None), x, None, length=8)[0]
+
+    floor_ms = timeit(_null, jnp.float32(0))
+    log(f"[bench] dispatch_floor={floor_ms:.2f} ms")
     decomp_ms, n_pieces, vol = bench_decomposition_1k()
     log(f"[bench] decomp_1k={decomp_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
     phys_ms = bench_physics_10k()
@@ -424,6 +439,9 @@ def main():
         "vs_baseline": round(total / 10.0, 4),
         "decomposition_1k_ms": round(decomp_ms, 3),
         "physics_10k_ms": round(phys_ms, 3),
+        "dispatch_floor_ms": round(floor_ms, 3),
+        "decomposition_1k_device_ms": round(decomp_ms - floor_ms / 32, 3),
+        "physics_10k_device_ms": round(phys_ms - floor_ms / 32, 3),
         "cube32_impact_ms": round(cube_ms, 3),
         "batch64_1k_total_ms": round(b64_ms, 3),
         "batch64_1k_per_mesh_ms": round(b64_per, 3),

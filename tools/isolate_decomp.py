@@ -28,6 +28,7 @@ from surtr_tpu.fracture.pipeline import (
     _cell_plane_sets,
     _finish_pieces,
     _pack_candidates,
+    _two_pass_cell_clip,
 )
 from surtr_tpu.io.models import get_model
 from surtr_tpu.ops.clip import clip_poly_planes
@@ -154,25 +155,50 @@ def main():
         return jax.tree_util.tree_map(v_, a)
 
     stages = {
-        "ich+kdop+ach": lambda i: clip_poly_planes(
-            translate_poly(
-                scale_poly(unit_cube(F=F, S=S, dtype=verts.dtype),
-                           vary(iv["extent"], i) * 2.0),
-                vary(iv["bb_center"], i),
+        # Matches production: the ACH clip goes through the backend-
+        # dispatched batch kernel (Pallas on TPU), NOT the XLA scan fold
+        # (clip_poly_planes measured 2.6 ms vs 0.02 for the same fold).
+        "ich+kdop+ach": lambda i: clip_planes_batch(
+            jax.tree_util.tree_map(
+                lambda a: a[None],
+                translate_poly(
+                    scale_poly(unit_cube(F=F, S=S, dtype=verts.dtype),
+                               vary(iv["extent"], i) * 2.0),
+                    vary(iv["bb_center"], i),
+                ),
             ),
-            *kdop_planes(
+            kdop_planes(
                 vary(verts, i), vmask,
                 ich(vary(verts, i), vmask,
                     limit=cfg.ich_include_point_limit)["normals"],
                 ich(vary(verts, i), vmask,
                     limit=cfg.ich_include_point_limit)["face_valid"],
                 gap=iv["mas"] / cfg.ach_plane_gap_inverse,
-            ),
+            )[0][None],
+            kdop_planes(
+                vary(verts, i), vmask,
+                ich(vary(verts, i), vmask,
+                    limit=cfg.ich_include_point_limit)["normals"],
+                ich(vary(verts, i), vmask,
+                    limit=cfg.ich_include_point_limit)["face_valid"],
+                gap=iv["mas"] / cfg.ach_plane_gap_inverse,
+            )[1][None],
         ),
         "cell_plane_sets": lambda i: _cell_plane_sets(
             vary(iv["seeds"], i), kN, iv["extent"], iv["bb_center"]
         ),
-        "conv clip fold": lambda i: clip_planes_batch(
+        # Production path: two-pass fold (walls + prefix bisectors, exact
+        # tail filter, compacted tail fold).
+        "conv clip fold": lambda i: _two_pass_cell_clip(
+            jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a[None], (C,) + a.shape),
+                vary(iv["ach"], i),
+            ),
+            vary(iv["cell_planes"], i), iv["cell_pmask"],
+            vary(iv["seeds"], i) * iv["extent"] + iv["bb_center"],
+            cfg.voronoi_prefix,
+        ),
+        "conv clip 1pass": lambda i: clip_planes_batch(
             jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a[None], (C,) + a.shape),
                 vary(iv["ach"], i),
