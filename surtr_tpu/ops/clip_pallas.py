@@ -207,56 +207,8 @@ def _clip_kernel(
             n_out = jnp.minimum(mcnt + ex_i + en_i, S)
             new_nv = jnp.where(n_out >= 3, n_out, 0)
 
-            # --- cap candidates: the two crossings + in-plane verts of
-            # touched faces. A convex cut's in-plane vertices sit at the
-            # two ends of the kept run (an edge exactly in the plane gives
-            # two), so the per-face pool [enter, exit, first in-plane,
-            # last in-plane] is complete — no compaction loop needed.
-            face_touched = jnp.any(removed, axis=1)              # (F,BN)
-            inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None, :]
-            fslot = jnp.min(jnp.where(inplane, slot, S), axis=1) # (F,BN)
-            lslot = jnp.max(jnp.where(inplane, slot, -1), axis=1)
-            fsel = (inplane & (slot == fslot[:, None, :])).astype(f32)
-            lsel = (inplane & (slot == lslot[:, None, :])).astype(f32)
-            ip_x = jnp.sum(fsel * fvx, axis=1)
-            ip_y = jnp.sum(fsel * fvy, axis=1)
-            ip_z = jnp.sum(fsel * fvz, axis=1)
-            has_ip = (fslot < S).astype(jnp.int32)
-            ip2_x = jnp.sum(lsel * fvx, axis=1)
-            ip2_y = jnp.sum(lsel * fvy, axis=1)
-            ip2_z = jnp.sum(lsel * fvz, axis=1)
-            has_ip2 = (lslot > fslot).astype(jnp.int32)
-
-            # Flatten (F, 4) → (F·4,) then compact across faces to 2S
-            # slots. int32 masks, not bool: Mosaic cannot relayout i1
-            # vectors through the stack+reshape.
-            CK = 4
-            px = jnp.stack([enter_x, exit_x, ip_x, ip2_x], axis=1).reshape(
-                F * CK, BN
-            )
-            py = jnp.stack([enter_y, exit_y, ip_y, ip2_y], axis=1).reshape(
-                F * CK, BN
-            )
-            pz = jnp.stack([enter_z, exit_z, ip_z, ip2_z], axis=1).reshape(
-                F * CK, BN
-            )
-            pm = jnp.stack([en_i, ex_i, has_ip, has_ip2], axis=1).reshape(
-                F * CK, BN
-            ) > 0
-            gpos = _cumsum1(pm.astype(jnp.int32)[:, None, :].reshape(1, F * CK, BN))[0]
-            cnt = jnp.minimum(jnp.max(gpos, axis=0), 2 * S)          # (BN,)
-            # One-hot gather into the 2S-slot pool (vectorized, (2S, F*CAPS, BN)).
-            selp = (pm & (gpos[None] == pool_iota[:, None, :] + 1)).astype(f32)
-            gx = jnp.sum(selp * px[None], axis=1)                    # (2S,BN)
-            gy = jnp.sum(selp * py[None], axis=1)
-            gz = jnp.sum(selp * pz[None], axis=1)
-            gm = pool_iota < cnt[None, :]
-
-            # Centroid + in-plane basis (u, v) for angular ordering.
-            fcnt = jnp.maximum(cnt.astype(f32), 1.0)
-            cx = jnp.sum(jnp.where(gm, gx, 0.0), axis=0) / fcnt       # (BN,)
-            cy = jnp.sum(jnp.where(gm, gy, 0.0), axis=0) / fcnt
-            cz = jnp.sum(jnp.where(gm, gz, 0.0), axis=0) / fcnt
+            # --- cap construction. In-plane basis (u, v) for angular
+            # ordering (shared by both paths below).
             nl = jnp.sqrt(nx * nx + ny * ny + nz * nz)
             nls = jnp.maximum(nl, 1e-30)
             ux_n, uy_n, uz_n = nx / nls, ny / nls, nz / nls
@@ -276,70 +228,175 @@ def _clip_kernel(
             vy = uz_n * ux - ux_n * uz
             vz = ux_n * uy - uy_n * ux
 
-            rx, ry, rz = gx - cx[None], gy - cy[None], gz - cz[None]
-            pu = rx * ux[None] + ry * uy[None] + rz * uz[None]        # (2S,BN)
-            pv = rx * vx[None] + ry * vy[None] + rz * vz[None]
-            # Diamond pseudo-angle: same cyclic order as atan2(pv, pu).
-            den = jnp.maximum(jnp.abs(pu) + jnp.abs(pv), 1e-30)
-            ang = jnp.where(pv >= 0, 1.0 - pu / den, 3.0 + pu / den)
-            key = jnp.where(gm, ang, 3.4e38)
+            def angle_rank_compact(qx, qy, qz, qm_i32, P, piota, OS):
+                """Angle-sort masked candidates (P,BN) into (OS,BN) slots.
 
-            # Rank by (key, index) — unique ranks, stable for bitwise-equal keys.
-            lt = key[:, None, :] < key[None, :, :]                    # (2S,2S,BN)
-            eq = key[:, None, :] == key[None, :, :]
-            lower = pool_iota[:, None, :] < pool_iota[None, :, :]
-            rank = jnp.sum(
-                (lt | (eq & lower)).astype(jnp.int32), axis=0
-            )                                                         # (2S,BN)
-            perm = (rank[None] == pool_iota[:, None, :]).astype(f32)  # (2S,2S,BN)
-            srx = jnp.sum(perm * gx[None], axis=1)                    # (2S,BN)
-            sry = jnp.sum(perm * gy[None], axis=1)
-            srz = jnp.sum(perm * gz[None], axis=1)
-            smask = pool_iota < cnt[None, :]
-            prevx = jnp.concatenate([jnp.full_like(srx[:1], 3.4e38), srx[:-1]], 0)
-            prevy = jnp.concatenate([jnp.full_like(sry[:1], 3.4e38), sry[:-1]], 0)
-            prevz = jnp.concatenate([jnp.full_like(srz[:1], 3.4e38), srz[:-1]], 0)
-            dup = (srx == prevx) & (sry == prevy) & (srz == prevz)
-            keep = smask & ~dup
-            kpos = _cumsum1(
-                keep.astype(jnp.int32)[None].reshape(1, 2 * S, BN)
-            )[0]                                                      # (2S,BN)
-            n_cap = jnp.minimum(jnp.max(kpos, axis=0), S)             # (BN,)
-            selc = (keep[None] & (kpos[None] == cap_iota[:, None, :] + 1)).astype(f32)
-            capx = jnp.sum(selc * srx[None], axis=1)                  # (S,BN)
-            capy = jnp.sum(selc * sry[None], axis=1)
-            capz = jnp.sum(selc * srz[None], axis=1)
-            has_cap = n_cap >= 3
+                qm int32 mask; returns sorted x/y/z (OS,BN) + count (BN,).
+                Entries past OS (or masked) are dropped in angle order."""
+                qm = qm_i32 > 0
+                cnt = jnp.sum(qm_i32, axis=0)                     # (BN,)
+                fcnt = jnp.maximum(cnt.astype(f32), 1.0)
+                cx = jnp.sum(jnp.where(qm, qx, 0.0), axis=0) / fcnt
+                cy = jnp.sum(jnp.where(qm, qy, 0.0), axis=0) / fcnt
+                cz = jnp.sum(jnp.where(qm, qz, 0.0), axis=0) / fcnt
+                rx, ry, rz = qx - cx[None], qy - cy[None], qz - cz[None]
+                pu = rx * ux[None] + ry * uy[None] + rz * uz[None]
+                pv = rx * vx[None] + ry * vy[None] + rz * vz[None]
+                # Diamond pseudo-angle: same cyclic order as atan2(pv, pu).
+                den = jnp.maximum(jnp.abs(pu) + jnp.abs(pv), 1e-30)
+                ang = jnp.where(pv >= 0, 1.0 - pu / den, 3.0 + pu / den)
+                key = jnp.where(qm, ang, 3.4e38)
+                # Rank by (key, index) — unique, stable for equal keys.
+                lt = key[:, None, :] < key[None, :, :]            # (P,P,BN)
+                eq = key[:, None, :] == key[None, :, :]
+                lower = piota[:, None, :] < piota[None, :, :]
+                rank = jnp.sum((lt | (eq & lower)).astype(jnp.int32), axis=0)
+                selc = qm[None] & (
+                    rank[None]
+                    == jax.lax.broadcasted_iota(jnp.int32, (OS, P, BN), 0)
+                )
+                w = selc.astype(f32)
+                sx_ = jnp.sum(w * qx[None], axis=1)               # (OS,BN)
+                sy_ = jnp.sum(w * qy[None], axis=1)
+                sz_ = jnp.sum(w * qz[None], axis=1)
+                return sx_, sy_, sz_, jnp.minimum(cnt, OS)
 
-            # --- place cap into the first free face slot.
-            free = new_nv == 0                                        # (F,BN)
-            first_free = jnp.min(jnp.where(free, iota_f, F), axis=0)  # (BN,)
-            can_place = has_cap & (first_free < F)
-            put = (iota_f == first_free[None, :]) & can_place[None, :]  # (F,BN)
-            put3 = put[:, None, :]
-            new_fvx = jnp.where(put3, capx[None], out_fvx)
-            new_fvy = jnp.where(put3, capy[None], out_fvy)
-            new_fvz = jnp.where(put3, capz[None], out_fvz)
-            new_nv = jnp.where(put, n_cap[None, :], new_nv)
-            pnx2 = jnp.where(put, nx[None, :], pnx)
-            pny2 = jnp.where(put, ny[None, :], pny)
-            pnz2 = jnp.where(put, nz[None, :], pnz)
-            pd2 = jnp.where(put, d[None, :], pd)
+            face_touched = jnp.any(removed, axis=1)              # (F,BN)
+            inplane = m & (jnp.abs(dist) <= tol) & face_touched[:, None, :]
+            ip_any = jnp.any(inplane)
 
-            # --- degenerate wipe: fewer than 4 live faces clears the polytope.
-            alive = (
-                jnp.sum((new_nv >= 3).astype(jnp.int32), axis=0) >= 4
-            )                                                         # (BN,)
-            new_nv = jnp.where(alive[None, :], new_nv, 0)
+            def cap_fast(_):
+                # No in-plane vertices anywhere in the block: every cap
+                # vertex is the exit crossing of exactly one cut face (its
+                # twin is the neighbor's enter — same bits, see pcx
+                # symmetry), so the exit set IS the cap, deduped for free.
+                # The data-dependent where forces a fresh canonically-laid-
+                # out value — the raw axis-1 reduction outputs carry an
+                # implicit-dim layout Mosaic cannot relayout through the
+                # rank broadcasts below.
+                canon = lambda q: jnp.where(iota_f >= 0, q, 0)
+                return angle_rank_compact(
+                    canon(exit_x), canon(exit_y), canon(exit_z),
+                    canon(ex_i), F, iota_f, S,
+                )
 
-            ofvx_ref[:] = new_fvx.reshape(F * S, BN)
-            ofvy_ref[:] = new_fvy.reshape(F * S, BN)
-            ofvz_ref[:] = new_fvz.reshape(F * S, BN)
-            onv_ref[:] = new_nv
-            opnx_ref[:] = pnx2
-            opny_ref[:] = pny2
-            opnz_ref[:] = pnz2
-            opd_ref[:] = pd2
+            def cap_slow(_):
+                # Rare path (plane through a vertex): full candidate pool
+                # [enter, exit, first in-plane, last in-plane] per face,
+                # compacted to 2S, angle-sorted, bitwise-deduped.
+                fslot = jnp.min(jnp.where(inplane, slot, S), axis=1)
+                lslot = jnp.max(jnp.where(inplane, slot, -1), axis=1)
+                fsel = (inplane & (slot == fslot[:, None, :])).astype(f32)
+                lsel = (inplane & (slot == lslot[:, None, :])).astype(f32)
+                ip_x = jnp.sum(fsel * fvx, axis=1)
+                ip_y = jnp.sum(fsel * fvy, axis=1)
+                ip_z = jnp.sum(fsel * fvz, axis=1)
+                has_ip = (fslot < S).astype(jnp.int32)
+                ip2_x = jnp.sum(lsel * fvx, axis=1)
+                ip2_y = jnp.sum(lsel * fvy, axis=1)
+                ip2_z = jnp.sum(lsel * fvz, axis=1)
+                has_ip2 = (lslot > fslot).astype(jnp.int32)
+
+                # Flatten (F, 4) → (F·4,) then compact across faces to 2S
+                # slots. int32 masks, not bool: Mosaic cannot relayout i1
+                # vectors through the stack+reshape.
+                CK = 4
+                px = jnp.stack(
+                    [enter_x, exit_x, ip_x, ip2_x], axis=1
+                ).reshape(F * CK, BN)
+                py = jnp.stack(
+                    [enter_y, exit_y, ip_y, ip2_y], axis=1
+                ).reshape(F * CK, BN)
+                pz = jnp.stack(
+                    [enter_z, exit_z, ip_z, ip2_z], axis=1
+                ).reshape(F * CK, BN)
+                pm = jnp.stack(
+                    [en_i, ex_i, has_ip, has_ip2], axis=1
+                ).reshape(F * CK, BN) > 0
+                gpos = _cumsum1(
+                    pm.astype(jnp.int32)[:, None, :].reshape(1, F * CK, BN)
+                )[0]
+                cnt = jnp.minimum(jnp.max(gpos, axis=0), 2 * S)   # (BN,)
+                selp = (
+                    pm & (gpos[None] == pool_iota[:, None, :] + 1)
+                ).astype(f32)
+                gx = jnp.sum(selp * px[None], axis=1)             # (2S,BN)
+                gy = jnp.sum(selp * py[None], axis=1)
+                gz = jnp.sum(selp * pz[None], axis=1)
+                gm_i = (pool_iota < cnt[None, :]).astype(jnp.int32)
+
+                # Sort the full 2S pool (duplicates land adjacent), THEN
+                # dedup, THEN compact to S — dedup must precede the S
+                # truncation or kept duplicates could crowd out real tail
+                # vertices.
+                sx_, sy_, sz_, scnt = angle_rank_compact(
+                    gx, gy, gz, gm_i, 2 * S, pool_iota, 2 * S
+                )
+                smask = pool_iota < scnt[None, :]
+                prevx = jnp.concatenate(
+                    [jnp.full_like(sx_[:1], 3.4e38), sx_[:-1]], 0
+                )
+                prevy = jnp.concatenate(
+                    [jnp.full_like(sy_[:1], 3.4e38), sy_[:-1]], 0
+                )
+                prevz = jnp.concatenate(
+                    [jnp.full_like(sz_[:1], 3.4e38), sz_[:-1]], 0
+                )
+                dup = (sx_ == prevx) & (sy_ == prevy) & (sz_ == prevz)
+                keep = smask & ~dup
+                kpos = _cumsum1(
+                    keep.astype(jnp.int32)[None].reshape(1, 2 * S, BN)
+                )[0]
+                n_cap = jnp.minimum(jnp.max(kpos, axis=0), S)
+                selc = (
+                    keep[None] & (kpos[None] == cap_iota[:, None, :] + 1)
+                ).astype(f32)
+                capx = jnp.sum(selc * sx_[None], axis=1)
+                capy = jnp.sum(selc * sy_[None], axis=1)
+                capz = jnp.sum(selc * sz_[None], axis=1)
+                return capx, capy, capz, n_cap
+
+            def place_and_write(capx, capy, capz, n_cap):
+                """Cap placement into the first free face slot + final ref
+                writes. Called from exactly one of the two pl.when regions
+                below (lax.cond can't unify the branches' vector layouts)."""
+                has_cap = n_cap >= 3
+                free = new_nv == 0                                    # (F,BN)
+                first_free = jnp.min(jnp.where(free, iota_f, F), axis=0)
+                can_place = has_cap & (first_free < F)
+                put = (iota_f == first_free[None, :]) & can_place[None, :]
+                put3 = put[:, None, :]
+                new_fvx = jnp.where(put3, capx[None], out_fvx)
+                new_fvy = jnp.where(put3, capy[None], out_fvy)
+                new_fvz = jnp.where(put3, capz[None], out_fvz)
+                nv2 = jnp.where(put, n_cap[None, :], new_nv)
+                pnx2 = jnp.where(put, nx[None, :], pnx)
+                pny2 = jnp.where(put, ny[None, :], pny)
+                pnz2 = jnp.where(put, nz[None, :], pnz)
+                pd2 = jnp.where(put, d[None, :], pd)
+
+                # Degenerate wipe: <4 live faces clears the polytope.
+                alive = (
+                    jnp.sum((nv2 >= 3).astype(jnp.int32), axis=0) >= 4
+                )                                                     # (BN,)
+                nv2 = jnp.where(alive[None, :], nv2, 0)
+
+                ofvx_ref[:] = new_fvx.reshape(F * S, BN)
+                ofvy_ref[:] = new_fvy.reshape(F * S, BN)
+                ofvz_ref[:] = new_fvz.reshape(F * S, BN)
+                onv_ref[:] = nv2
+                opnx_ref[:] = pnx2
+                opny_ref[:] = pny2
+                opnz_ref[:] = pnz2
+                opd_ref[:] = pd2
+
+            @pl.when(jnp.logical_not(ip_any))
+            def _fast():
+                place_and_write(*cap_fast(0))
+
+            @pl.when(ip_any)
+            def _slow():
+                place_and_write(*cap_slow(0))
 
         return 0
 
