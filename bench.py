@@ -108,7 +108,15 @@ def bench_decomposition_1k_model(name="pumpkin"):
     Surtr.cpp:1397-1420) — mesh-clip cost scales with triangle count, so
     decomp_1k on an 8-vertex cube is the cheapest possible geometry. Same
     1k-seed decomposition on the real model, piece-tri capacity sized for
-    a 10k-triangle source."""
+    a 10k-triangle source.
+
+    Capacity note: the reference's ICH(limit 20) k-DOP has 72 slab planes
+    (Surtr.h:91, GenerateICHNormal), so the model ACH carries ~78 faces —
+    max_faces must exceed that or cap faces silently drop and the cell
+    fold's volumes become garbage (measured: F=32 reported Σcells 696 vs
+    the true 873 at this workload). F=96/S=32 holds the ACH exactly; the
+    remaining ~1-2%% volume deficit is cap-vertex truncation at S=32,
+    asserted in tests/test_tiling.py."""
     from surtr_tpu.config import FractureConfig
     from surtr_tpu.fracture.pipeline import prepare_fracture
     from surtr_tpu.io.models import get_model, sphere_point_cloud
@@ -116,8 +124,8 @@ def bench_decomposition_1k_model(name="pumpkin"):
     cfg = FractureConfig(
         initial_decompose_cell_cnt=1024,
         max_pieces=1024,
-        max_faces=32,
-        max_face_verts=16,
+        max_faces=96,
+        max_face_verts=32,
         max_piece_tris=128,
         voronoi_neighbors=48,
         partial_pattern_cell_cnt=8,

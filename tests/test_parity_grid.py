@@ -1,0 +1,66 @@
+"""Global z-ray parity grid vs exact winding-number solid tests.
+
+The grid replaces per-query winding numbers in prepare-time island
+connectivity (same closed source solid for every candidate); these tests pin
+its agreement with the exact oracle away from the surface.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from surtr_tpu.io.models import get_model
+from surtr_tpu.ops.mesh_clip import (
+    build_parity_grid,
+    parity_grid_inside,
+    winding_inside,
+)
+
+
+@pytest.mark.parametrize("model", ["cube", "sphere"])
+def test_parity_grid_matches_winding(model):
+    v, f = get_model(model)
+    corners = jnp.asarray(v[f])
+    tmask = jnp.ones(len(f), bool)
+    grid = jax.jit(lambda c, m: build_parity_grid(c, m, res=48))(
+        corners, tmask
+    )
+
+    lo = np.asarray(v).min(0)
+    hi = np.asarray(v).max(0)
+    ext = hi - lo
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(
+        (lo - 0.2 * ext) + rng.rand(512, 3) * (1.4 * ext), jnp.float32
+    )
+    got = np.asarray(parity_grid_inside(grid, pts))
+    want = np.asarray(winding_inside(pts, corners, tmask))
+
+    # Disagreement is allowed only within a cell of the surface (the grid
+    # snaps queries to cell centers). "Far from the surface" = the exact
+    # classification is constant over a one-cell ball around the point
+    # (checked at the 6 axis offsets).
+    cell = float(np.max(ext) / 48)
+    offs = cell * np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    )
+    nb = np.stack(
+        [
+            np.asarray(winding_inside(pts + o[None], corners, tmask))
+            for o in offs
+        ],
+        axis=1,
+    )
+    far = (nb == want[:, None]).all(axis=1)
+    assert far.sum() > 100  # the probe cloud actually exercises the test
+    np.testing.assert_array_equal(got[far], want[far])
+
+
+def test_parity_grid_outside_bbox_is_outside():
+    v, f = get_model("cube")
+    corners = jnp.asarray(v[f])
+    grid = build_parity_grid(corners, jnp.ones(len(f), bool), res=16)
+    far = jnp.asarray([[50.0, 0.0, 0.0], [0.0, -50.0, 0.0]], jnp.float32)
+    assert not bool(parity_grid_inside(grid, far).any())

@@ -51,8 +51,10 @@ def main():
     cfg = FractureConfig(
         initial_decompose_cell_cnt=1024,
         max_pieces=1024,
-        max_faces=32,
-        max_face_verts=16,
+        # Model-scale ACHs carry ~78 faces (72 k-DOP slabs); F=32 drops cap
+        # faces and the volumes are garbage (see tests/test_tiling.py).
+        max_faces=32 if model == "cube" else 96,
+        max_face_verts=16 if model == "cube" else 32,
         max_piece_tris=128 if model != "cube" else 64,
         voronoi_neighbors=48,
         partial_pattern_cell_cnt=8,
