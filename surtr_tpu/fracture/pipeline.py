@@ -623,6 +623,55 @@ def prepare_fracture(
     if profile_stage <= 4:
         return _psum(conv, cell_planes, pp, gp), None, None
 
+    # Active-plane compaction: the folded cell supports a face on plane k
+    # iff its max signed vertex distance is ≥ -tol, and the cell is EXACTLY
+    # the intersection of its active half-spaces — so the triangle cull and
+    # the soup clip below only need those (measured 12.8 active of 54 at
+    # 1k pumpkin cells; the scan length drops 54 → 32). Dead cells get one
+    # all-removing plane so their soup clips to nothing. Overflow past the
+    # 32-slot cap (never seen; max measured 25) is counted into the drop
+    # metric.
+    Kt_cell = cell_planes.shape[1]
+    KA = min(Kt_cell, 32)
+    act_over = jnp.zeros((), jnp.int32)
+    if KA < Kt_cell:
+        tol_a = jnp.asarray(1e-5, cell_planes.dtype) * mas
+
+        def _active_one(args):
+            cv_f, cv_m, pl, pm_ = args
+            vf = cv_f.reshape(-1, 3)
+            vm_ = cv_m.reshape(-1)
+            d = (
+                pl[:, 0:1] * vf[None, :, 0]
+                + pl[:, 1:2] * vf[None, :, 1]
+                + pl[:, 2:3] * vf[None, :, 2]
+                + pl[:, 3:4]
+            )                                              # (Kt, V)
+            smax = jnp.max(jnp.where(vm_[None], d, -BIG), axis=1)
+            alive = jnp.any(vm_)
+            act = pm_ & (smax > -tol_a) & alive
+            score = jnp.where(
+                act, -jnp.arange(Kt_cell, dtype=pl.dtype), -BIG
+            )
+            _, idx = jax.lax.top_k(score, KA)
+            sel = pl[idx]
+            selm = act[idx]
+            kill = jnp.zeros((KA, 4), pl.dtype).at[0, 3].set(1.0)
+            sel = jnp.where(alive, sel, kill)
+            selm = jnp.where(
+                alive, selm, jnp.zeros((KA,), bool).at[0].set(True)
+            )
+            return sel, selm, jnp.maximum(jnp.sum(act) - KA, 0)
+
+        cell_planes_a, cell_pmask_a, over = jax.lax.map(
+            _active_one,
+            (conv.face_verts, conv.slot_mask(), cell_planes, cell_pmask),
+            batch_size=128,
+        )
+        act_over = jnp.sum(over)
+    else:
+        cell_planes_a, cell_pmask_a = cell_planes, cell_pmask
+
     # Conservative per-cell triangle culling: at model scale every cell
     # intersects only ~1% of the source mesh, but the naive clip runs all
     # Tsrc triangles against every cell's planes (pumpkin 10k tris × 1024
@@ -664,7 +713,7 @@ def prepare_fracture(
         # internal vectorization chunk (bounds the (chunk, Kp, T) distance
         # tensor).
         cidx, csel, cull_over = jax.lax.map(
-            cull_one, (cell_planes, cell_pmask), batch_size=128
+            cull_one, (cell_planes_a, cell_pmask_a), batch_size=128
         )
         ctris = tri_corners[cidx]                              # (C,cap,3,3)
 
@@ -672,14 +721,15 @@ def prepare_fracture(
             return clip_trisoup(ct, cm_, pl, pm_, max_out=Tp)
 
         mtris, mmask, mdrop = jax.vmap(mesh_one)(
-            ctris, csel, cell_planes, cell_pmask
+            ctris, csel, cell_planes_a, cell_pmask_a
         )
-        mdrop = mdrop + cull_over
+        mdrop = mdrop + cull_over + act_over
     else:
         def mesh_one(pl, pm_):
             return clip_trisoup(tri_corners, tmask, pl, pm_, max_out=Tp)
 
-        mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes, cell_pmask)
+        mtris, mmask, mdrop = jax.vmap(mesh_one)(cell_planes_a, cell_pmask_a)
+        mdrop = mdrop + act_over
 
     if profile_stage <= 5:
         return _psum(conv, mtris, mmask, mdrop, pp, gp), None, None
@@ -690,7 +740,7 @@ def prepare_fracture(
     # Prepare-time island check (the reference's ApplyFracture runs
     # CheckMeshIsland during initial decomposition too, Surtr.cpp:1810-1814):
     # a cell of a non-convex model can clip into disjoint chunks.
-    cpl, cpm = cell_planes, cell_pmask
+    cpl, cpm = cell_planes_a, cell_pmask_a
     cand_ok = jnp.ones((C,), bool)
     if cfg.max_islands > 1 and cfg.island_pool > 0:
         # Every candidate shares the one closed SOURCE solid here, so the

@@ -22,12 +22,17 @@ import jax.numpy as jnp
 
 
 def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol):
-    """SH-clip a batch of small polygons by one plane, scatter/gather-free.
+    """SH-clip a batch of small CONVEX polygons by one plane.
 
     poly: (T, S, 3); n_vert: (T,). Returns same shapes. Keeps n·x + d < 0.
-    """
-    from surtr_tpu.ops.linalg import compact
 
+    Cyclic-run emission (same trick as the Pallas conv clip kernel): a plane
+    cuts a convex loop in at most two edges, so the kept vertices are one
+    contiguous cyclic run and the cut adds exactly [exit, enter] after it.
+    Emitting [rotated run, exit, enter] (a rotation of the classic SH
+    stream — downstream fan triangulation is rotation-invariant) replaces
+    the O(S²) one-hot compaction, which dominated the model-scale mesh
+    clip (measured 152 ms of the pumpkin 1k fold)."""
     T, S, _ = poly.shape
     n, d = plane[:3], plane[3]
     slot = jnp.arange(S, dtype=jnp.int32)
@@ -38,16 +43,65 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
     v_next = jnp.where(is_last[..., None], poly[:, 0:1, :], rolled)
     d_next = jnp.sum(v_next * n, axis=-1) + d
     kept = m & (dist <= tol)
-    cross = m & (
-        ((dist < -tol) & (d_next > tol)) | ((dist > tol) & (d_next < -tol))
-    )
     denom = d_next - dist
     safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
     p_cut = (poly * d_next[..., None] - v_next * dist[..., None]) / safe[..., None]
 
-    flags = jnp.stack([kept, cross], -1).reshape(T, 2 * S)
-    vals = jnp.stack([poly, p_cut], -2).reshape(T, 2 * S, 3)
-    out, n_out = compact(vals, flags, S)
+    cross_exit = m & (dist < -tol) & (d_next > tol)
+    cross_enter = m & (dist > tol) & (d_next < -tol)
+    f_ex = cross_exit.astype(poly.dtype)[..., None]
+    f_en = cross_enter.astype(poly.dtype)[..., None]
+    exit_p = jnp.sum(f_ex * p_cut, axis=1)                   # (T, 3)
+    enter_p = jnp.sum(f_en * p_cut, axis=1)
+    ex_i = jnp.any(cross_exit, axis=1).astype(jnp.int32)    # (T,)
+    en_i = jnp.any(cross_enter, axis=1).astype(jnp.int32)
+
+    # Run start a = kept vertex whose cyclic predecessor is removed.
+    kept_i = kept.astype(jnp.int32)
+    kprev = jnp.concatenate(
+        [
+            jnp.sum(jnp.where(is_last, kept_i, 0), 1, keepdims=True),
+            kept_i[:, :-1],
+        ],
+        axis=1,
+    )
+    startm = kept & (kprev == 0)
+    a = jnp.sum(jnp.where(startm, slot[None], 0), axis=1)    # (T,)
+    mcnt = jnp.sum(kept_i, axis=1)
+
+    # rot[j] = poly[(a+j) mod n_vert] via two log-step barrel shifts.
+    b_amt = jnp.where(a > 0, n_vert - a, 0)
+    xl = xr = poly
+    a2 = a[:, None, None]
+    b2 = b_amt[:, None, None]
+    t = 1
+    while t < S:
+        bit_l = ((a2 // t) % 2) > 0
+        moved_l = jnp.concatenate(
+            [xl[:, t:, :], jnp.zeros((T, t, 3), poly.dtype)], axis=1
+        )
+        xl = jnp.where(bit_l, moved_l, xl)
+        bit_r = ((b2 // t) % 2) > 0
+        moved_r = jnp.concatenate(
+            [jnp.zeros((T, t, 3), poly.dtype), xr[:, : S - t, :]], axis=1
+        )
+        xr = jnp.where(bit_r, moved_r, xr)
+        t *= 2
+    rot = jnp.where(slot[None, :, None] < b_amt[:, None, None], xl, xr)
+
+    in_run = slot[None] < mcnt[:, None]
+    at_exit = (slot[None] == mcnt[:, None]) & (ex_i[:, None] > 0)
+    at_enter = (slot[None] == (mcnt + ex_i)[:, None]) & (en_i[:, None] > 0)
+    out = jnp.where(
+        in_run[..., None],
+        rot,
+        jnp.where(
+            at_exit[..., None],
+            exit_p[:, None, :],
+            jnp.where(at_enter[..., None], enter_p[:, None, :], 0.0),
+        ),
+    )
+    n_out = jnp.minimum(mcnt + ex_i + en_i, S)
     # Drop polygons lying wholly IN the cutting plane when the plane actually
     # removes material: they are old cap geometry on this plane, and the new
     # cap face re-covers the full cross-section — keeping both double-layers
