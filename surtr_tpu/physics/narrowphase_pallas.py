@@ -313,12 +313,12 @@ def _narrow_kernel(
     static_argnames=("Vh", "F", "Ne", "K", "M", "slop", "interpret"),
 )
 def narrowphase_pairs_pallas(
-    packed, pj_flat, pok,
+    packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
     interpret: bool = False,
 ):
-    """packed: (Np, D) tight per-piece tables; pj_flat: (Np, K·D) gathered
-    partner rows (k-major); pok: (Np, K) candidate flags.
+    """packed: (Np, D) tight per-piece tables; pidx: (Np, K) i32 partner
+    indices (broadphase candidates); pok: (Np, K) candidate flags.
 
     Returns (pc_n (Np, K, 3) j→i normals, depth (Np, K), pair_hit (Np, K),
     mpts (Np, K, M, 3), mvals (Np, K, M), mhit (Np, K, M))."""
@@ -331,11 +331,14 @@ def narrowphase_pairs_pallas(
     # Transposed batch-minor tables: columns are pieces / pairs (i-minor
     # within k — pair column of grid step (k, b) lane q is piece b·BQ+q).
     piT = jnp.pad(packed.T, ((0, 0), (0, Np_pad - Np)))     # (D, Np_pad)
-    # (D, K, Np) → pad lanes → (D, K·Np_pad): pad before merging K so each
-    # k-segment is Np_pad wide.
-    pj3 = jnp.transpose(pj_flat.reshape(Np, K, D), (2, 1, 0))  # (D, K, Np)
-    pj3 = jnp.pad(pj3, ((0, 0), (0, 0), (0, Np_pad - Np)))
-    pjT = pj3.reshape(D, K * Np_pad)
+    # Partner table directly in transposed layout via one lane gather of
+    # the piece table (measured 0.03 ms vs 0.19 for the row-gather +
+    # transpose of the (D, K·Np) block). Padded lanes index piece 0 and
+    # are masked by ok.
+    colidx = jnp.pad(
+        jnp.clip(pidx, 0, Np - 1), ((0, Np_pad - Np), (0, 0))
+    ).T.reshape(-1)                                          # (K·Np_pad,)
+    pjT = jnp.take(piT[:, :Np], colidx, axis=1)
     okT = jnp.pad(
         pok.astype(jnp.float32).T, ((0, 0), (0, Np_pad - Np))
     ).reshape(1, K * Np_pad)

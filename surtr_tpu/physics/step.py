@@ -435,12 +435,10 @@ def physics_step(
                 em=scene.piece_emask.astype(f32d),
             )
         packed_p = pack_pieces(parts_p, Vh, Fp, nEd)           # (Np, D)
-        Dp_ = packed_p.shape[1]
-        pjf = packed_p[pidx].reshape(Np, K * Dp_)
 
         pc_n, _depth, _pair_hit, mpts, mvals, mhit = (
             narrowphase_pairs_pallas(
-                packed_p, pjf, pok,
+                packed_p, pidx, pok,
                 Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
                 interpret=not on_tpu,
             )
