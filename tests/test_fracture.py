@@ -162,24 +162,16 @@ def test_radial_pattern_cells_tile_exactly():
 
 
 def test_medium_config_impact_conserves_volume():
-    """Scene-level conservation with a production-shaped config (regression:
-    an impact inflated 27 → 36 via overlapping pattern cells). Sizes are a
-    notch below the defaults to keep the CPU test fast; the tiling bug class
-    is covered at full pattern size by test_radial_pattern_cells_tile_exactly."""
-    from surtr_tpu.config import FractureConfig, SceneConfig
+    """Scene-level conservation through an impact (regression: an impact
+    inflated 27 → 36 via overlapping pattern cells). Uses test_scene's
+    shared CFG so the prepare/do_fracture programs hit the same jit +
+    persistent cache (a bespoke config here alone cost ~3.5 min of CPU
+    compile per cold run); the tiling bug class is covered at full pattern
+    size by test_radial_pattern_cells_tile_exactly."""
+    from tests.test_scene import CFG as SCENE_CFG
     from surtr_tpu.scene import Scene
 
-    cfg = SceneConfig(
-        fracture=FractureConfig(
-            initial_decompose_cell_cnt=24,
-            max_pieces=128,
-            max_active_pieces=12,
-            partial_pattern_cell_cnt=48,
-            general_pattern_cell_cnt=16,
-            max_piece_tris=128,
-        )
-    )
-    sc = Scene("cube", cfg)
+    sc = Scene("cube", SCENE_CFG)
     sc.step(30)
     sc.fire_impact((0, 4.7, -10), (0, 0, 1))
     assert np.isclose(sc.total_volume(), 27.0, rtol=2e-3)
