@@ -888,7 +888,9 @@ def _pack_candidates(conv, mtris, mmask, valid, group, tag, vol, P, Tp, F, S):
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "partial"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "partial", "profile_stage")
+)
 def do_fracture(
     pieces: PieceSet,
     ctx: FractureContext,
@@ -896,6 +898,7 @@ def do_fracture(
     target_group,
     cfg: FractureConfig,
     partial: bool = True,
+    profile_stage: int = 99,
 ):
     """Refracture compounds at an impact point. Returns (PieceSet, metrics).
 
@@ -968,21 +971,38 @@ def do_fracture(
         conv.planes,
     )
 
-    def mesh_row(mesh, mmask_):
-        def mesh_one(cell):
-            return clip_trisoup(
-                mesh, mmask_, cell.planes, cell.face_mask(), max_out=Tp
-            )
+    if profile_stage <= 1:  # selection + A×C convex clip grid
+        return _psum(conv, src_mesh, src_mmask), None
 
-        return jax.vmap(mesh_one)(cells)
+    # --- job compaction: the A×C grid is mostly DEAD after the convex fold
+    # (a clustered partial pattern leaves 2.6% of jobs non-empty on the
+    # cube32 bench) — keep the largest JCAP live jobs so the mesh clip,
+    # island labeling, and finish stages run on a small pool. Overflow
+    # drops the smallest fragments and is counted (the usual observable-cap
+    # policy). The general pattern spreads wide, so its cap is looser.
+    alive_job = ~conv.is_empty() & jnp.repeat(sel_ok, C)
+    JCAP = min(N0, max(128, N0 // (8 if partial else 2)))
+    volj, _ = moments(conv)
+    scorej = jnp.where(alive_job, volj, -1.0)
+    jtake = jnp.argsort(-scorej)[:JCAP]
+    jvalid = alive_job[jtake]
+    conv = jax.tree_util.tree_map(lambda a: a[jtake], conv)
+    cell_of = (jtake % C).astype(jnp.int32)
+    src_of = (jtake // C).astype(jnp.int32)
+    src_valid = jvalid
+    job_overflow = jnp.maximum(jnp.sum(alive_job) - JCAP, 0)
 
-    mtris, mmask, mdrop = jax.vmap(mesh_row)(src_mesh, src_mmask)
+    # Mesh clip on the live-job pool only.
+    jmesh = src_mesh[src_of]
+    jmmask = src_mmask[src_of] & jvalid[:, None]
+    jcpl = cells.planes[cell_of]
+    jcpm = cells.face_mask()[cell_of]
+    mtris, mmask, mdrop = jax.vmap(
+        lambda me, mm, pl, pm_: clip_trisoup(me, mm, pl, pm_, max_out=Tp)
+    )(jmesh, jmmask, jcpl, jcpm)
 
-    flat = lambda a: a.reshape((N0,) + a.shape[2:])
-    mtris, mmask = flat(mtris), flat(mmask)
-    cell_of = jnp.tile(jnp.arange(C, dtype=jnp.int32), (A,))
-    src_of = jnp.repeat(jnp.arange(A, dtype=jnp.int32), C)
-    src_valid = jnp.repeat(sel_ok, C)
+    if profile_stage <= 2:  # + mesh clip
+        return _psum(conv, mtris, mmask, mdrop), None
 
     # --- CheckMeshIsland (Surtr.cpp:2157-2201): a candidate whose clipped
     # surface splits into disconnected components becomes several pieces
@@ -1002,6 +1022,8 @@ def do_fracture(
         src_of = jnp.concatenate([src_of, src_of[x_cand]])
         src_valid = jnp.concatenate([src_valid, src_valid[x_cand] & x_valid])
     N = conv.n_verts.shape[0]
+    if profile_stage <= 3:  # + mesh islands
+        return _psum(conv, mtris, mmask, src_valid), None
     cplanes_flat = cells.planes[cell_of]
     cpmask_flat = cells.face_mask()[cell_of]
 
@@ -1011,6 +1033,8 @@ def do_fracture(
         src_mesh[src_of], src_mmask[src_of], mas, cfg,
     )
     cand_valid = cand_valid & src_valid
+    if profile_stage <= 4:  # + finish (occupancy/refit/caps)
+        return _psum(conv2, mtris2, mmask2, cand_valid), None
 
     # --- MergeOutOfImpact (Surtr.cpp:2368-2403): partial-mode candidates
     # fully outside the sphere rejoin the parent compound.
@@ -1056,6 +1080,8 @@ def do_fracture(
         P, Tp, F, S,
     )
     piece_overflow = jnp.maximum(jnp.sum(all_valid) - P, 0)
+    if profile_stage <= 5:  # + merge/group/pack
+        return _psum(packed.valid, packed.convex, piece_overflow), None
 
     # --- HandleConvexIsland (Surtr.cpp:2203-2366): split every compound into
     # contact-connected components.
@@ -1066,6 +1092,7 @@ def do_fracture(
     metrics = {
         "active_pieces": jnp.sum(active),
         "active_overflow": active_overflow,
+        "job_overflow": job_overflow,
         "new_pieces": jnp.sum(cand_valid),
         "piece_overflow": piece_overflow,
         "merged_out": jnp.sum(cand_out & cand_valid),
