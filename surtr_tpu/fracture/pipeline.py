@@ -576,6 +576,22 @@ def prepare_fracture(
     # This halves the decomposition cost vs building cell geometry first.
     k0, k1, k2 = jax.random.split(key, 3)
     seeds = uniform_seeds(k0, C)
+    # Density-sort the seed batch (same set, deterministic): the Pallas
+    # fold's block-level no-cut skip fires per 128-cell block, so grouping
+    # cells of similar local density lets blocks of sparse cells stop
+    # firing after their few near bisectors instead of riding the densest
+    # cell in a mixed block. Cell order is otherwise arbitrary (candidate
+    # ids / groups derive from it but carry no meaning).
+    if C > 128:
+        dmin = jnp.min(
+            jnp.fill_diagonal(
+                jnp.sum((seeds[:, None] - seeds[None]) ** 2, -1),
+                jnp.asarray(BIG, seeds.dtype),
+                inplace=False,
+            ),
+            axis=1,
+        )
+        seeds = seeds[jnp.argsort(dmin)]
     kN = min(cfg.voronoi_neighbors, C - 1)
     cell_planes, cell_pmask = _cell_plane_sets(
         seeds, kN, extent, bb_center, exact_topk=cfg.voronoi_exact_topk
