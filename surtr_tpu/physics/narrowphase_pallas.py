@@ -308,10 +308,21 @@ def _narrow_kernel(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("Vh", "F", "Ne", "K", "M", "slop", "interpret"),
-)
+def narrowphase_raw_pallas(
+    packed, pidx, pok,
+    Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
+    interpret: bool = False,
+):
+    """Raw-kernel variant: returns (out (OUT_R, K·Np_pad), Np_pad) without
+    the transpose back to piece-major — the fused prep path consumes row
+    slices directly (rows: nx ny nz depth hit, then per manifold point m
+    at 5+5m: val hit px py pz; lane k·Np_pad+n is piece n's k-th pair)."""
+    return _narrowphase_call(
+        packed, pidx, pok, Vh=Vh, F=F, Ne=Ne, K=K, M=M, slop=slop,
+        interpret=interpret,
+    )
+
+
 def narrowphase_pairs_pallas(
     packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
@@ -322,6 +333,30 @@ def narrowphase_pairs_pallas(
 
     Returns (pc_n (Np, K, 3) j→i normals, depth (Np, K), pair_hit (Np, K),
     mpts (Np, K, M, 3), mvals (Np, K, M), mhit (Np, K, M))."""
+    out, Np_pad = _narrowphase_call(
+        packed, pidx, pok, Vh=Vh, F=F, Ne=Ne, K=K, M=M, slop=slop,
+        interpret=interpret,
+    )
+    Np = packed.shape[0]
+    OUT_R = _out_rows(M)
+    o = jnp.transpose(
+        out.reshape(OUT_R, K, Np_pad), (2, 1, 0)
+    )[:Np]                                                  # (Np, K, OUT_R)
+    pc_n = o[:, :, 0:3]
+    depth = o[:, :, 3]
+    pair_hit = o[:, :, 4] > 0.5
+    mvrows = o[:, :, 5 : 5 + 5 * M].reshape(Np, K, M, 5)
+    mvals = mvrows[..., 0]
+    mhit = mvrows[..., 1] > 0.5
+    mpts = mvrows[..., 2:5]
+    return pc_n, depth, pair_hit, mpts, mvals, mhit
+
+
+def _narrowphase_call(
+    packed, pidx, pok,
+    Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
+    interpret: bool = False,
+):
     Np, D = packed.shape
     BQ = 2048 if Np >= 2048 else ((Np + 127) // 128) * 128
     Np_pad = ((Np + BQ - 1) // BQ) * BQ
@@ -373,15 +408,4 @@ def narrowphase_pairs_pallas(
         out_shape=jax.ShapeDtypeStruct((OUT_R, K * Np_pad), jnp.float32),
         interpret=interpret,
     )(piT, pjT, okT)
-
-    o = jnp.transpose(
-        out.reshape(OUT_R, K, Np_pad), (2, 1, 0)
-    )[:Np]                                                  # (Np, K, OUT_R)
-    pc_n = o[:, :, 0:3]
-    depth = o[:, :, 3]
-    pair_hit = o[:, :, 4] > 0.5
-    mvrows = o[:, :, 5 : 5 + 5 * M].reshape(Np, K, M, 5)
-    mvals = mvrows[..., 0]
-    mhit = mvrows[..., 1] > 0.5
-    mpts = mvrows[..., 2:5]
-    return pc_n, depth, pair_hit, mpts, mvals, mhit
+    return out, Np_pad

@@ -436,6 +436,28 @@ def physics_step(
             )
         packed_p = pack_pieces(parts_p, Vh, Fp, nEd)           # (Np, D)
 
+        fused = (
+            single
+            and cfg.fused_prep
+            and not cfg.banded_solver
+            and (on_tpu or cfg.force_pallas_solver)
+            and profile_stage > 3
+        )
+        if fused:
+            from surtr_tpu.physics.narrowphase_pallas import (
+                narrowphase_raw_pallas,
+            )
+
+            np_raw = narrowphase_raw_pallas(
+                packed_p, pidx, pok,
+                Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
+                interpret=not on_tpu,
+            )
+            return _fused_prep_solve(
+                scene, cfg, profile_stage, bodies, Np, K, G, M,
+                wverts, wmask, owner, pvalid, pidx,
+                None, None, None, None, on_tpu, np_raw=np_raw,
+            )
         pc_n, _depth, _pair_hit, mpts, mvals, mhit = (
             narrowphase_pairs_pallas(
                 packed_p, pidx, pok,
@@ -443,18 +465,6 @@ def physics_step(
                 interpret=not on_tpu,
             )
         )
-        if (
-            single
-            and cfg.fused_prep
-            and not cfg.banded_solver
-            and (on_tpu or cfg.force_pallas_solver)
-            and profile_stage > 3
-        ):
-            return _fused_prep_solve(
-                scene, cfg, profile_stage, bodies, Np, K, G, M,
-                wverts, wmask, owner, pvalid, pidx,
-                mpts, mvals, mhit, pc_n, on_tpu,
-            )
         # Slot-major tiling for the general (XLA-prep) path.
         pc_p = jnp.transpose(mpts, (0, 2, 1, 3)).reshape(Np, K * M, 3)
         pc_d = jnp.maximum(
@@ -672,11 +682,17 @@ def physics_step(
 def _fused_prep_solve(
     scene, cfg, profile_stage, bodies, Np, K, G, M,
     wverts, wmask, owner, pvalid, pidx, mpts, mvals, mhit, pc_n, on_tpu,
+    np_raw=None,
 ):
     """Single-piece fast path: one Pallas kernel does all of contact prep
     (ground slots already appended here in planar lane form) and emits the
     solver's packed tables; the slot-major (Np, C, ·) tensors and the
-    per-op-overhead-bound XLA prep never run. See prep_pallas.py."""
+    per-op-overhead-bound XLA prep never run. See prep_pallas.py.
+
+    ``np_raw`` = (out (OUT_R, K·Np_pad), Np_pad) from
+    ``narrowphase_raw_pallas``: the prep tables are then built by ROW
+    slices of the kernel output + one small (M·K, Np) transpose each,
+    skipping the (Np, K, OUT_R) transpose and slot concats entirely."""
     from surtr_tpu.physics.prep_pallas import (
         prep_and_solve, prep_contacts_pallas,
     )
@@ -685,23 +701,53 @@ def _fused_prep_solve(
     f32 = wverts.dtype
     g_pts, gd, g_hit = _ground_contacts(cfg, wverts, wmask, pvalid)
 
-    # Planar slot tables, slot = m·K + k then G ground lanes.
-    pt3 = jnp.concatenate(
-        [mpts[:, :, m, 0] for m in range(M)] + [g_pts[..., 0]]
-        + [mpts[:, :, m, 1] for m in range(M)] + [g_pts[..., 1]]
-        + [mpts[:, :, m, 2] for m in range(M)] + [g_pts[..., 2]],
-        axis=1,
-    )                                                      # (Np, 3C)
-    dh = jnp.concatenate(
-        [jnp.maximum(mvals[:, :, m], 0.0) for m in range(M)]
-        + [jnp.maximum(gd, 0.0)]
-        + [mhit[:, :, m].astype(f32) for m in range(M)]
-        + [g_hit.astype(f32)],
-        axis=1,
-    )                                                      # (Np, 2C)
-    pn3 = jnp.concatenate(
-        [pc_n[..., 0], pc_n[..., 1], pc_n[..., 2]], axis=1
-    )                                                      # (Np, 3K)
+    if np_raw is not None:
+        out, Np_pad = np_raw
+        OUT_R = out.shape[0]
+        o3 = out.reshape(OUT_R, K, Np_pad)
+
+        def slot_rows(start, stride, count):
+            """count strided rows → (Np, count·K), slot = m·K + k."""
+            sub = jax.lax.slice(
+                o3, (start, 0, 0),
+                (start + stride * (count - 1) + 1, K, Np_pad),
+                (stride, 1, 1),
+            )                                              # (count, K, Np_pad)
+            return sub.reshape(count * K, Np_pad).T[:Np]
+
+        px = slot_rows(7, 5, M)
+        py = slot_rows(8, 5, M)
+        pz = slot_rows(9, 5, M)
+        val = slot_rows(5, 5, M)
+        mh = slot_rows(6, 5, M)
+        pn3 = slot_rows(0, 1, 3)                           # (Np, 3K)
+        pt3 = jnp.concatenate(
+            [px, g_pts[..., 0], py, g_pts[..., 1], pz, g_pts[..., 2]],
+            axis=1,
+        )                                                  # (Np, 3C)
+        dh = jnp.concatenate(
+            [jnp.maximum(val, 0.0), jnp.maximum(gd, 0.0),
+             mh, g_hit.astype(f32)],
+            axis=1,
+        )                                                  # (Np, 2C)
+    else:
+        # Planar slot tables, slot = m·K + k then G ground lanes.
+        pt3 = jnp.concatenate(
+            [mpts[:, :, m, 0] for m in range(M)] + [g_pts[..., 0]]
+            + [mpts[:, :, m, 1] for m in range(M)] + [g_pts[..., 1]]
+            + [mpts[:, :, m, 2] for m in range(M)] + [g_pts[..., 2]],
+            axis=1,
+        )                                                  # (Np, 3C)
+        dh = jnp.concatenate(
+            [jnp.maximum(mvals[:, :, m], 0.0) for m in range(M)]
+            + [jnp.maximum(gd, 0.0)]
+            + [mhit[:, :, m].astype(f32) for m in range(M)]
+            + [g_hit.astype(f32)],
+            axis=1,
+        )                                                  # (Np, 2C)
+        pn3 = jnp.concatenate(
+            [pc_n[..., 0], pc_n[..., 1], pc_n[..., 2]], axis=1
+        )                                                  # (Np, 3K)
 
     inv_m = bodies.inv_mass
     inv_I = world_inv_inertia(bodies.q, bodies.inv_inertia_body)
