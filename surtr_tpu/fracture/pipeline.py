@@ -317,9 +317,23 @@ def _split_mesh_islands(conv, mtris, mmask, solid_t, solid_m, mas, cfg,
     # Probing the ORIGINAL closed source mesh keeps the ray-parity test
     # robust (round 1 probed an approximate capped mesh and mis-split thin
     # fragments, duplicating convex volume — PARITY.md divergence 3).
-    labels = jax.vmap(
-        lambda t, m: tri_soup_components(t, m, iters=cfg.island_label_iters)
-    )(mtris, mmask)                                        # (N0, T)
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+
+    if _target_is_tpu():
+        # Full-closure VPU kernel, candidates on lanes: the batched 64×64
+        # bf16 squarings of the XLA path are the sub-128-matmul shape the
+        # MXU handles poorly (1.15 ms/event cube, 23 ms pumpkin).
+        from surtr_tpu.ops.labels_pallas import (
+            tri_soup_components_batch_pallas,
+        )
+
+        labels = tri_soup_components_batch_pallas(mtris, mmask)
+    else:
+        labels = jax.vmap(
+            lambda t, m: tri_soup_components(
+                t, m, iters=cfg.island_label_iters
+            )
+        )(mtris, mmask)                                    # (N0, T)
     Tcap = mtris.shape[1] + 1
     lab_valid = jnp.where(mmask, labels, Tcap)
     picks = []

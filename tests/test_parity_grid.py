@@ -64,3 +64,32 @@ def test_parity_grid_outside_bbox_is_outside():
     grid = build_parity_grid(corners, jnp.ones(len(f), bool), res=16)
     far = jnp.asarray([[50.0, 0.0, 0.0], [0.0, -50.0, 0.0]], jnp.float32)
     assert not bool(parity_grid_inside(grid, far).any())
+
+
+def test_labels_pallas_matches_xla():
+    """Interpret-mode Pallas soup labeling == the XLA closure on a batch of
+    candidate-like soups (two islands, degenerate, empty)."""
+    from surtr_tpu.ops.labels import tri_soup_components
+    from surtr_tpu.ops.labels_pallas import tri_soup_components_batch_pallas
+
+    rng = np.random.RandomState(3)
+    N, T = 6, 16
+    corners = rng.rand(N, T, 3, 3).astype(np.float32)
+    # Candidate 0: a strip (every tri shares a corner with the next).
+    for t in range(T - 1):
+        corners[0, t + 1, 0] = corners[0, t, 1]
+    # Candidate 1: two strips (break in the middle).
+    for t in range(T - 1):
+        if t != T // 2 - 1:
+            corners[1, t + 1, 0] = corners[1, t, 1]
+    valid = np.ones((N, T), bool)
+    valid[2, :] = False                 # empty candidate
+    valid[3, T // 2 :] = False          # half-valid
+    corners = jnp.asarray(corners)
+    valid = jnp.asarray(valid)
+
+    got = tri_soup_components_batch_pallas(corners, valid, interpret=True)
+    want = jnp.stack(
+        [tri_soup_components(corners[i], valid[i]) for i in range(N)]
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
