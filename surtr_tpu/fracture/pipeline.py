@@ -863,9 +863,19 @@ def _finish_pieces(
         return jnp.concatenate([surf_v, cap_v]), jnp.concatenate([surf_m, cap_m])
 
     pool, pool_m = jax.vmap(pool_one)(conv, mtris, mmask, cut_planes, cut_mask)
-    slabs, slab_m = jax.vmap(
-        lambda v, m: refit_planes(v, m, cfg.refitting_point_limit)
-    )(pool, pool_m)
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+
+    if cfg.refitting_point_limit <= 4 and _target_is_tpu():
+        # One kernel for the whole tetra-hull + k-DOP refit (the vmapped
+        # XLA chain is ~25 small ops per extreme point — the largest slice
+        # of this stage); see ops/refit_pallas.py.
+        from surtr_tpu.ops.refit_pallas import refit_planes_batch_pallas
+
+        slabs, slab_m = refit_planes_batch_pallas(pool, pool_m)
+    else:
+        slabs, slab_m = jax.vmap(
+            lambda v, m: refit_planes(v, m, cfg.refitting_point_limit)
+        )(pool, pool_m)
     conv2 = clip_planes_batch(conv, slabs, slab_m)
 
     # Caps from the refit convex's cut faces.

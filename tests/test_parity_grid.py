@@ -93,3 +93,24 @@ def test_labels_pallas_matches_xla():
         [tri_soup_components(corners[i], valid[i]) for i in range(N)]
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_refit_pallas_matches_xla():
+    """Interpret-mode Pallas refit == vmapped tetra-hull + k-DOP planes."""
+    from surtr_tpu.fracture.pipeline import refit_planes
+    from surtr_tpu.ops.refit_pallas import refit_planes_batch_pallas
+
+    rng = np.random.RandomState(5)
+    N, Pv = 5, 40
+    pool = jnp.asarray(rng.randn(N, Pv, 3), jnp.float32)
+    mask = jnp.asarray(rng.rand(N, Pv) > 0.3)
+    # Degenerate candidates: too few points / all masked.
+    mask = mask.at[3, 4:].set(False)
+    mask = mask.at[4, :].set(False)
+
+    got_p, got_m = refit_planes_batch_pallas(pool, mask, interpret=True)
+    want_p, want_m = jax.vmap(lambda v, m: refit_planes(v, m, 4))(pool, mask)
+    np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+    gp = np.asarray(got_p)[np.asarray(got_m)]
+    wp = np.asarray(want_p)[np.asarray(want_m)]
+    np.testing.assert_allclose(gp, wp, rtol=1e-5, atol=1e-5)
