@@ -311,15 +311,17 @@ def _narrow_kernel(
 def narrowphase_raw_pallas(
     packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
-    interpret: bool = False,
+    interpret: bool = False, packedT=None,
 ):
     """Raw-kernel variant: returns (out (OUT_R, K·Np_pad), Np_pad) without
     the transpose back to piece-major — the fused prep path consumes row
     slices directly (rows: nx ny nz depth hit, then per manifold point m
-    at 5+5m: val hit px py pz; lane k·Np_pad+n is piece n's k-th pair)."""
+    at 5+5m: val hit px py pz; lane k·Np_pad+n is piece n's k-th pair).
+    ``packedT`` (D, Np) skips the transpose (the transform-pack kernel
+    already emits this layout)."""
     return _narrowphase_call(
         packed, pidx, pok, Vh=Vh, F=F, Ne=Ne, K=K, M=M, slop=slop,
-        interpret=interpret,
+        interpret=interpret, packedT=packedT,
     )
 
 
@@ -355,9 +357,12 @@ def narrowphase_pairs_pallas(
 def _narrowphase_call(
     packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
-    interpret: bool = False,
+    interpret: bool = False, packedT=None,
 ):
-    Np, D = packed.shape
+    if packedT is not None:
+        D, Np = packedT.shape
+    else:
+        Np, D = packed.shape
     BQ = 2048 if Np >= 2048 else ((Np + 127) // 128) * 128
     Np_pad = ((Np + BQ - 1) // BQ) * BQ
     NB = Np_pad // BQ
@@ -365,7 +370,10 @@ def _narrowphase_call(
 
     # Transposed batch-minor tables: columns are pieces / pairs (i-minor
     # within k — pair column of grid step (k, b) lane q is piece b·BQ+q).
-    piT = jnp.pad(packed.T, ((0, 0), (0, Np_pad - Np)))     # (D, Np_pad)
+    piT = jnp.pad(
+        packedT if packedT is not None else packed.T,
+        ((0, 0), (0, Np_pad - Np)),
+    )                                                        # (D, Np_pad)
     # Partner table directly in transposed layout via one lane gather of
     # the piece table (measured 0.03 ms vs 0.19 for the row-gather +
     # transpose of the (D, K·Np) block). Padded lanes index piece 0 and

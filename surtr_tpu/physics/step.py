@@ -342,37 +342,73 @@ def physics_step(
     # when every body owns one piece and the pools are the same size.
     single = cfg.single_piece_bodies and scene.Np == scene.B
 
-    # --- 1. world transforms + 26-DOP support intervals.
-    wverts, wmask = piece_world_verts(scene)                   # (Np, Vh, 3)
-    Vh = wverts.shape[1]
+    nEd = max(Ne, 0)
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+
+    on_tpu = _target_is_tpu()
     owner = jnp.clip(scene.piece_owner, 0, B - 1)
     pvalid = scene.piece_valid & (scene.piece_owner >= 0)
-    big = jnp.asarray(BIG, wverts.dtype)
-    lo = jnp.min(jnp.where(wmask[..., None], wverts, big), axis=1)
-    hi = jnp.max(jnp.where(wmask[..., None], wverts, -big), axis=1)
+    Vh = scene.piece_verts.shape[1]
+    Fp = scene.piece_planes.shape[1]
     margin = cfg.contact_slop * 4.0
-    lo, hi = lo - margin, hi + margin
-    centers = jnp.where(pvalid[:, None], (lo + hi) * 0.5, big)
+    big = jnp.asarray(BIG, scene.piece_verts.dtype)
+    # Fast path = Pallas narrowphase + fused prep on the single-piece pool:
+    # stage 1 (world transforms, DOP intervals, AABBs) and the narrowphase
+    # packing fuse into ONE kernel that already emits the transposed packed
+    # table (see pack_pallas.py; the XLA stage was ~12 ops / ~0.9 ms).
+    use_fast = (
+        cfg.pallas_narrowphase
+        and (on_tpu or cfg.force_pallas_narrowphase)
+        and single
+        and cfg.fused_prep
+        and not cfg.banded_solver
+        and (on_tpu or cfg.force_pallas_solver)
+        and profile_stage > 3
+    )
+    if use_fast:
+        from surtr_tpu.physics.pack_pallas import transform_pack_pallas
 
-    Rw = quat_to_mat(bodies.q)[owner]
-    x_own = bodies.x[owner]
-    wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])    # (Np, F, 3)
-    Fp = wplanes_n.shape[1]
-    wplanes_d = scene.piece_planes[..., 3] - jnp.sum(
-        wplanes_n * x_own[:, None, :], axis=-1
-    )                                                          # (Np, F)
-    wedges = rot_points(Rw, scene.piece_edges)                 # (Np, Ne, 3)
+        packedT, aabb = transform_pack_pallas(
+            scene.piece_verts, scene.piece_vmask,
+            scene.piece_planes, scene.piece_pmask,
+            scene.piece_edges, scene.piece_emask,
+            bodies.q[owner], bodies.x[owner], pvalid,
+            Vh=Vh, F=Fp, Ne=nEd, margin=margin, interpret=not on_tpu,
+        )
+        abT = aabb.T                                           # (Np, 9)
+        lo, hi = abT[:, 0:3], abT[:, 3:6]
+        centers = abT[:, 6:9]
+        wverts = jnp.transpose(
+            packedT[: 3 * Vh].reshape(3, Vh, Np), (2, 1, 0)
+        )
+        wmask = scene.piece_vmask
+        x_own = bodies.x[owner]
+    else:
+        # --- 1. world transforms + 26-DOP support intervals.
+        wverts, wmask = piece_world_verts(scene)               # (Np, Vh, 3)
+        lo = jnp.min(jnp.where(wmask[..., None], wverts, big), axis=1)
+        hi = jnp.max(jnp.where(wmask[..., None], wverts, -big), axis=1)
+        lo, hi = lo - margin, hi + margin
+        centers = jnp.where(pvalid[:, None], (lo + hi) * 0.5, big)
 
-    base = dop26_directions(wverts.dtype)                      # (13, 3)
-    t_dop = jnp.sum(
-        wverts[:, :, None, :] * base[None, None], axis=-1
-    )                                                          # (Np, Vh, 13)
-    mdop = wmask[..., None]
-    lo_dop = jnp.min(jnp.where(mdop, t_dop, big), axis=1)      # (Np, 13)
-    hi_dop = jnp.max(jnp.where(mdop, t_dop, -big), axis=1)
+        Rw = quat_to_mat(bodies.q)[owner]
+        x_own = bodies.x[owner]
+        wplanes_n = rot_points(Rw, scene.piece_planes[..., :3])  # (Np, F, 3)
+        wplanes_d = scene.piece_planes[..., 3] - jnp.sum(
+            wplanes_n * x_own[:, None, :], axis=-1
+        )                                                      # (Np, F)
+        wedges = rot_points(Rw, scene.piece_edges)             # (Np, Ne, 3)
+
+        base = dop26_directions(wverts.dtype)                  # (13, 3)
+        t_dop = jnp.sum(
+            wverts[:, :, None, :] * base[None, None], axis=-1
+        )                                                      # (Np, Vh, 13)
+        mdop = wmask[..., None]
+        lo_dop = jnp.min(jnp.where(mdop, t_dop, big), axis=1)  # (Np, 13)
+        hi_dop = jnp.max(jnp.where(mdop, t_dop, -big), axis=1)
 
     if profile_stage <= 1:
-        return _stage_out(scene, centers, lo_dop, hi_dop)
+        return _stage_out(scene, centers, lo, hi)
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
     # "auto": exact all-pairs while the pool fits one sweep block (cheap and
@@ -408,10 +444,22 @@ def physics_step(
     # --- 3a. pair narrowphase (SAT), piece-major pair slots (Np, K).
     # Gather-count discipline: ONE packed gather brings every per-partner
     # table; the i-side needs no gather (broadcast along K).
-    nEd = max(Ne, 0)
-    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+    if use_fast:
+        # packedT already in the kernel's transposed layout (stage 1).
+        from surtr_tpu.physics.narrowphase_pallas import (
+            narrowphase_raw_pallas,
+        )
 
-    on_tpu = _target_is_tpu()
+        np_raw = narrowphase_raw_pallas(
+            None, pidx, pok,
+            Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
+            interpret=not on_tpu, packedT=packedT,
+        )
+        return _fused_prep_solve(
+            scene, cfg, profile_stage, bodies, Np, K, G, M,
+            wverts, wmask, owner, pvalid, pidx,
+            None, None, None, None, on_tpu, np_raw=np_raw,
+        )
     if cfg.pallas_narrowphase and (on_tpu or cfg.force_pallas_narrowphase):
         # Fused Pallas SAT + manifolds: the (Np, K, Vh, F) distance/support
         # tensors never leave VMEM (the XLA path streams ~330 MB of them
@@ -436,28 +484,6 @@ def physics_step(
             )
         packed_p = pack_pieces(parts_p, Vh, Fp, nEd)           # (Np, D)
 
-        fused = (
-            single
-            and cfg.fused_prep
-            and not cfg.banded_solver
-            and (on_tpu or cfg.force_pallas_solver)
-            and profile_stage > 3
-        )
-        if fused:
-            from surtr_tpu.physics.narrowphase_pallas import (
-                narrowphase_raw_pallas,
-            )
-
-            np_raw = narrowphase_raw_pallas(
-                packed_p, pidx, pok,
-                Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
-                interpret=not on_tpu,
-            )
-            return _fused_prep_solve(
-                scene, cfg, profile_stage, bodies, Np, K, G, M,
-                wverts, wmask, owner, pvalid, pidx,
-                None, None, None, None, on_tpu, np_raw=np_raw,
-            )
         pc_n, _depth, _pair_hit, mpts, mvals, mhit = (
             narrowphase_pairs_pallas(
                 packed_p, pidx, pok,
