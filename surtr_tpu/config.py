@@ -136,7 +136,12 @@ class PhysicsConfig:
                                    # refresh (chaotic-relaxation Jacobi:
                                    # own-body state updates every substep,
                                    # partner velocities every refresh —
-                                   # halves the gather/launch count)
+                                   # iters/substeps fused launches total).
+                                   # 4 (−0.4 ms) was tried in round 3 and
+                                   # REJECTED: the 5-stack's lateral drift
+                                   # is numerics-marginal there (passes in
+                                   # one float environment, 0.16 m in
+                                   # another); 2 is robust.
     baumgarte: float = 0.2         # positional-bias factor
     contact_slop: float = 1e-3
     bounce_threshold: float = 0.25 # approach speed below which restitution
