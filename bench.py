@@ -63,7 +63,12 @@ def bench_decomposition_1k(cfg_overrides=None):
     cfg = FractureConfig(
         initial_decompose_cell_cnt=1024,
         max_pieces=1024,
-        max_faces=32,
+        # Capacity fit to the workload (same policy as the pumpkin bench's
+        # F=96): the cube ACH has ~10 live faces and its cells ≤ ~15+caps;
+        # F=26 reproduces the F=32 total volume bit-for-band (27.0049 vs
+        # 27.0044) while shrinking the fold state — F=24 starts dropping
+        # caps (vol 26.992). Tiling invariant: tests/test_tiling.py.
+        max_faces=26,
         max_face_verts=16,
         max_piece_tris=64,
         voronoi_neighbors=48,
@@ -230,7 +235,7 @@ def bench_batch64_1k(M=64):
     cfg = FractureConfig(
         initial_decompose_cell_cnt=1024,
         max_pieces=1024,
-        max_faces=32,
+        max_faces=26,   # workload-fit capacity (see bench_decomposition_1k)
         max_face_verts=16,
         max_piece_tris=64,
         voronoi_neighbors=48,
