@@ -87,11 +87,11 @@ def bench_decomposition_1k(cfg_overrides=None):
         pieces, ctx, met = prepare_fracture(verts, vm, corners, tm, cloud, key, cfg)
         return pieces.valid, met["total_volume"]
 
-    # Amortize the ~25 ms tunnel dispatch latency over 32 independent events
+    # Amortize the ~25 ms tunnel dispatch latency over 64 independent events
     # (steady-state per-event cost is what the north star describes; on real
     # non-tunneled hardware the dispatch floor is ~0.1 ms). The residual
     # floor-per-event is reported explicitly as dispatch_floor_ms / REP.
-    REP = 32
+    REP = 64
     keys = jax.random.split(key, REP)
 
     @jax.jit
@@ -208,10 +208,10 @@ def bench_physics_10k(n=10_000):
     )
     scene = build_scene(pieces, pcfg, max_bodies=n)
 
-    # Steady-state frame cost: scan 32 steps per dispatch (amortizes the
+    # Steady-state frame cost: scan 64 steps per dispatch (amortizes the
     # ~25 ms tunnel round trip the way a real interactive loop would; on
     # non-tunneled hardware the dispatch floor is ~0.1 ms).
-    REP = 32
+    REP = 64
 
     @jax.jit
     def run_steps(s):
@@ -453,8 +453,8 @@ def main():
         "decomposition_1k_ms": round(decomp_ms, 3),
         "physics_10k_ms": round(phys_ms, 3),
         "dispatch_floor_ms": round(floor_ms, 3),
-        "decomposition_1k_device_ms": round(decomp_ms - floor_ms / 32, 3),
-        "physics_10k_device_ms": round(phys_ms - floor_ms / 32, 3),
+        "decomposition_1k_device_ms": round(decomp_ms - floor_ms / 64, 3),
+        "physics_10k_device_ms": round(phys_ms - floor_ms / 64, 3),
         "cube32_impact_ms": round(cube_ms, 3),
         "batch64_1k_total_ms": round(b64_ms, 3),
         "batch64_1k_per_mesh_ms": round(b64_per, 3),
