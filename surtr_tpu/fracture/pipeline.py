@@ -551,7 +551,18 @@ def prepare_fracture(
     Tp = cfg.max_piece_tris
 
     # 1-2. ICH face normals (Surtr.cpp:1750-1755).
-    h = ich(verts, vmask, limit=cfg.ich_include_point_limit)
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu as _on_tpu
+
+    if _on_tpu():
+        # Whole greedy-insertion loop in one kernel: the XLA fori body is
+        # ~50 small ops × 16 insertions of pure dispatch overhead
+        # (~0.7 ms cube / ~4.9 ms pumpkin). Interpret parity in
+        # tests/test_parity_grid.py.
+        from surtr_tpu.ops.hull_pallas import ich_pallas
+
+        h = ich_pallas(verts, vmask, limit=cfg.ich_include_point_limit)
+    else:
+        h = ich(verts, vmask, limit=cfg.ich_include_point_limit)
 
     # 3. Bounding box (Surtr.cpp:1757-1772).
     big = jnp.asarray(BIG, verts.dtype)

@@ -114,3 +114,32 @@ def test_refit_pallas_matches_xla():
     gp = np.asarray(got_p)[np.asarray(got_m)]
     wp = np.asarray(want_p)[np.asarray(want_m)]
     np.testing.assert_allclose(gp, wp, rtol=1e-5, atol=1e-5)
+
+
+def test_ich_pallas_matches_xla():
+    """Interpret-mode Pallas ICH == the XLA greedy hull (normal sets and
+    face counts; slot order matches the argsort-based assignment)."""
+    from surtr_tpu.io.models import get_model
+    from surtr_tpu.ops.hull import ich
+    from surtr_tpu.ops.hull_pallas import ich_pallas
+
+    rng = np.random.RandomState(7)
+    clouds = [
+        jnp.asarray(get_model("cube")[0]),
+        jnp.asarray(rng.randn(40, 3), jnp.float32),
+        jnp.asarray(rng.rand(100, 3) * jnp.asarray([2.0, 1.0, 0.5]),
+                    jnp.float32),
+    ]
+    for pts in clouds:
+        m = jnp.ones(pts.shape[0], bool)
+        want = ich(pts, m, limit=20)
+        got = ich_pallas(pts, m, limit=20, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(got["face_valid"]), np.asarray(want["face_valid"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["inner"]), np.asarray(want["inner"]), rtol=1e-6
+        )
+        gv = np.asarray(got["normals"])[np.asarray(got["face_valid"])]
+        wv = np.asarray(want["normals"])[np.asarray(want["face_valid"])]
+        np.testing.assert_allclose(gv, wv, rtol=1e-5, atol=1e-6)
