@@ -697,7 +697,12 @@ def prepare_fracture(
             _, idx = jax.lax.top_k(score, KA)
             sel = pl[idx]
             selm = act[idx]
-            kill = jnp.zeros((KA, 4), pl.dtype).at[0, 3].set(1.0)
+            # Kill plane for dead cells: d must exceed any triangle
+            # bounding radius so the CULL drops their triangles too (at
+            # d=1 a big source triangle passed the cull and only died in
+            # the clip — wasted pool slots); 1e8 stays far from f32
+            # overflow in the clip's edge interpolation products.
+            kill = jnp.zeros((KA, 4), pl.dtype).at[0, 3].set(1e8)
             sel = jnp.where(alive, sel, kill)
             selm = jnp.where(
                 alive, selm, jnp.zeros((KA,), bool).at[0].set(True)
