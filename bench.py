@@ -396,7 +396,7 @@ def main():
 
     # Measured per-dispatch floor of this backend (the axon tunnel adds
     # ~25 ms per dispatch that real locally-attached TPUs don't have). The
-    # headline metrics amortize it over a REP=32 scan; floor/32 per event
+    # headline metrics amortize it over a REP=64 scan; floor/64 per event
     # is still INCLUDED in the reported values — this field just makes the
     # infrastructure share visible.
     @jax.jit

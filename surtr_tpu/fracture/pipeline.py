@@ -327,7 +327,9 @@ def _split_mesh_islands(conv, mtris, mmask, solid_t, solid_m, mas, cfg,
             tri_soup_components_batch_pallas,
         )
 
-        labels = tri_soup_components_batch_pallas(mtris, mmask)
+        labels = tri_soup_components_batch_pallas(
+            mtris, mmask, iters=cfg.island_label_iters
+        )
     else:
         labels = jax.vmap(
             lambda t, m: tri_soup_components(

@@ -59,16 +59,19 @@ def _labels_kernel(q_ref, vm_ref, lab_ref, *, T: int, rounds: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tol", "interpret")
+    jax.jit, static_argnames=("tol", "iters", "interpret")
 )
 def tri_soup_components_batch_pallas(
     corners: jax.Array,
     tri_valid: jax.Array,
     tol: float = 1e-5,
+    iters: int | None = None,
     interpret: bool = False,
 ):
     """corners: (N, T, 3, 3); tri_valid: (N, T). Returns (N, T) i32 labels
-    (min triangle index per component; invalid → T)."""
+    (min triangle index per component; invalid → T). ``iters`` caps the
+    relax+jump rounds like tri_soup_components' squaring cap (closed
+    diameter 2^rounds)."""
     N, T = corners.shape[0], corners.shape[1]
     BN = 128
     Npad = ((N + BN - 1) // BN) * BN
@@ -80,8 +83,10 @@ def tri_soup_components_batch_pallas(
         tri_valid.astype(jnp.int32).T, ((0, 0), (0, Npad - N))
     )
     # Each relax+jump round at least doubles the closed distance; match the
-    # XLA closure's squaring count.
+    # XLA closure's squaring count (capped by ``iters`` like the XLA path).
     rounds = max(1, (max(T - 1, 1)).bit_length())
+    if iters is not None:
+        rounds = max(1, min(rounds, iters))
 
     kernel = functools.partial(_labels_kernel, T=T, rounds=rounds)
     bs = lambda r: pl.BlockSpec(

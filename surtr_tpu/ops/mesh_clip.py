@@ -66,6 +66,7 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
         axis=1,
     )
     startm = kept & (kprev == 0)
+    nstarts = jnp.sum(startm.astype(jnp.int32), axis=1)      # (T,)
     a = jnp.sum(jnp.where(startm, slot[None], 0), axis=1)    # (T,)
     mcnt = jnp.sum(kept_i, axis=1)
 
@@ -109,7 +110,16 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
     inplane = jnp.all((jnp.abs(dist) <= tol) | ~m, axis=1) & (n_vert > 0)
     any_removed = jnp.any(m & (dist > tol))
     n_out = jnp.where(inplane & any_removed, 0, n_out)
-    return out, jnp.where(n_out >= 3, n_out, 0)
+    # Convexity guard: a convex loop has EXACTLY one kept cyclic run. If
+    # f32 drift ever produces a kept/removed/kept classification, the run
+    # rotation and the single exit/enter sums above would emit garbage —
+    # drop the polygon instead (bounded, and counted by the caller like
+    # every other capacity loss).
+    multirun = nstarts > 1
+    n_out = jnp.where(multirun, 0, n_out)
+    return out, jnp.where(n_out >= 3, n_out, 0), jnp.sum(
+        multirun.astype(jnp.int32)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "poly_slots", "tol"))
@@ -136,14 +146,17 @@ def clip_trisoup(
     n_vert = jnp.where(tri_valid, 3, 0).astype(jnp.int32)
 
     def body(carry, xs):
-        poly, n_vert = carry
+        poly, n_vert, mdrop = carry
         plane, ok = xs
-        p2, n2 = _clip_polys_plane(poly, n_vert, plane, tol)
+        p2, n2, dmr = _clip_polys_plane(poly, n_vert, plane, tol)
         poly = jnp.where(ok, p2, poly)
         n_vert = jnp.where(ok, n2, n_vert)
-        return (poly, n_vert), None
+        mdrop = mdrop + jnp.where(ok, dmr, 0)
+        return (poly, n_vert, mdrop), None
 
-    (poly, n_vert), _ = jax.lax.scan(body, (poly, n_vert), (planes, plane_mask))
+    (poly, n_vert, multirun_drops), _ = jax.lax.scan(
+        body, (poly, n_vert, jnp.int32(0)), (planes, plane_mask)
+    )
 
     # Fan re-triangulation: polygon with n verts → n-2 triangles, packed
     # front-aligned. Static-size dispatch: the fused one-hot compaction is
@@ -171,7 +184,7 @@ def clip_trisoup(
         out, _ = pack_rows(tris.reshape(T, S, 9), counts, max_out)
     out = out.reshape(max_out, 3, 3)
     out_valid = jnp.arange(max_out) < total
-    dropped = jnp.maximum(total - max_out, 0)
+    dropped = jnp.maximum(total - max_out, 0) + multirun_drops
     return out, out_valid, dropped
 
 

@@ -39,20 +39,21 @@ def batch_step(scenes, cfg: PhysicsConfig, n_steps: int = 1):
 def sharded_batch_step(mesh_axis: str, mesh, scenes, cfg: PhysicsConfig,
                        n_steps: int = 1):
     """Multi-chip variant: the scene batch is sharded over ``mesh_axis`` of
-    ``mesh`` (jax.sharding.Mesh). Returns (stepped batch, global kinetic
-    energy (scalar, psum over devices))."""
-    from jax.experimental.shard_map import shard_map
+    ``mesh`` (jax.sharding.Mesh). Returns (stepped batch, global ACTIVITY
+    scalar Σ active·(|v|²+|ω|²) psum'd over devices — a mass-free motion
+    metric for idle/convergence monitoring, NOT kinetic energy)."""
+    from jax import shard_map
 
     def per_shard(sc):
         out = batch_step(sc, cfg, n_steps)
-        ke = jnp.sum(
+        activity = jnp.sum(
             jnp.where(
                 out.bodies.active[..., None],
                 out.bodies.v**2 + out.bodies.w**2,
                 0.0,
             )
         )
-        return out, jax.lax.psum(ke, mesh_axis)
+        return out, jax.lax.psum(activity, mesh_axis)
 
     specs = jax.tree_util.tree_map(lambda _: P(mesh_axis), scenes)
     return shard_map(

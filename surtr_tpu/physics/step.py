@@ -363,7 +363,6 @@ def physics_step(
         and cfg.fused_prep
         and not cfg.banded_solver
         and (on_tpu or cfg.force_pallas_solver)
-        and profile_stage > 3
     )
     if use_fast:
         from surtr_tpu.physics.pack_pallas import transform_pack_pallas
@@ -383,6 +382,8 @@ def physics_step(
         )
         wmask = scene.piece_vmask
         x_own = bodies.x[owner]
+        if profile_stage <= 1:
+            return _stage_out(scene, aabb)
     else:
         # --- 1. world transforms + 26-DOP support intervals.
         wverts, wmask = piece_world_verts(scene)               # (Np, Vh, 3)
@@ -408,7 +409,7 @@ def physics_step(
         hi_dop = jnp.max(jnp.where(mdop, t_dop, -big), axis=1)
 
     if profile_stage <= 1:
-        return _stage_out(scene, centers, lo, hi)
+        return _stage_out(scene, centers, lo_dop, hi_dop)
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
     # "auto": exact all-pairs while the pool fits one sweep block (cheap and
@@ -455,6 +456,8 @@ def physics_step(
             Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
             interpret=not on_tpu, packedT=packedT,
         )
+        if profile_stage <= 3:
+            return _stage_out(scene, np_raw[0])
         return _fused_prep_solve(
             scene, cfg, profile_stage, bodies, Np, K, G, M,
             wverts, wmask, owner, pvalid, pidx,

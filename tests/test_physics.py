@@ -430,3 +430,45 @@ def test_broadphase_grid_full_recall_on_dense_pile():
     se, sg = pairs(pe, oke), pairs(pg, okg)
     miss = len(se - sg) / max(len(se), 1)
     assert miss <= 0.02, f"grid broadphase missed {miss:.2%} of exact pairs"
+
+
+def test_fused_fast_path_matches_xla_reference():
+    """The PRODUCTION fast path (transform-pack kernel → raw narrowphase →
+    fused prep/solver) vs the pure-XLA reference path, 30 steps on a small
+    settling pile. On TPU both sides of the older parity tests take the
+    fast path; this one forces the kernels in interpret mode on CPU so a
+    layout/stride regression in the kernel chain cannot pass the suite."""
+    import dataclasses
+
+    offsets = [[0, -1.45 + 1.02 * i, 0] for i in range(4)] + [
+        [1.2, -1.45, 0.0], [1.2, -0.4, 0.0]
+    ]
+    base = PhysicsConfig(
+        broadphase_block=64, single_piece_bodies=True, max_hull_verts=16
+    )
+    fast = dataclasses.replace(
+        base,
+        pallas_narrowphase=True,
+        force_pallas_narrowphase=True,
+        force_pallas_solver=True,
+        fused_prep=True,
+    )
+    ref = dataclasses.replace(base, pallas_narrowphase=False)
+
+    def run_cfg(cfg, n=30):
+        s = build_scene(
+            make_pieces(offsets, list(range(len(offsets)))), cfg
+        )
+        step = jax.jit(lambda s, c=cfg: physics_step(s, c))
+        for _ in range(n):
+            s = step(s)
+        return s
+
+    a = run_cfg(fast)
+    b = run_cfg(ref)
+    np.testing.assert_allclose(
+        np.asarray(a.bodies.x), np.asarray(b.bodies.x), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.bodies.v), np.asarray(b.bodies.v), atol=2e-3
+    )

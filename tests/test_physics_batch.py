@@ -58,11 +58,11 @@ def test_sharded_batch_step_matches_unsharded():
     mesh = Mesh(devs, ("scene",))
     batch, _ = _batch(8)
     want = batch_step(batch, PCFG, n_steps=10)
-    got, ke = sharded_batch_step("scene", mesh, batch, PCFG, n_steps=10)
+    got, act = sharded_batch_step("scene", mesh, batch, PCFG, n_steps=10)
     np.testing.assert_allclose(
         np.asarray(got.bodies.x), np.asarray(want.bodies.x), atol=1e-6
     )
-    ke_want = float(
+    act_want = float(
         jnp.sum(
             jnp.where(
                 want.bodies.active[..., None],
@@ -71,4 +71,4 @@ def test_sharded_batch_step_matches_unsharded():
             )
         )
     )
-    assert np.isclose(float(ke), ke_want, rtol=1e-5, atol=1e-6)
+    assert np.isclose(float(act), act_want, rtol=1e-5, atol=1e-6)
