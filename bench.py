@@ -285,7 +285,7 @@ def bench_cube32():
     impact = jnp.array([1.5, 1.5, 1.5])
 
     # Steady-state per-event cost (same amortization as the other configs).
-    REP = 4
+    REP = 16
 
     @jax.jit
     def run_many(p):
@@ -366,7 +366,7 @@ def bench_interactive_frame():
     eye = jnp.asarray([8.0, 6.0, 8.0], jnp.float32)
     target = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
 
-    REP = 4
+    REP = 8
 
     @jax.jit
     def frames(pieces, phys, x0):
