@@ -137,11 +137,19 @@ def _append_tris(base, base_mask, extra_rows, extra_counts):
         packed, _ = pack_rows(extra_rows.reshape(F, Sf, 9), extra_counts, T)
     packed = packed.reshape(T, 3, 3)
     n_extra = jnp.sum(extra_counts)
-    # k-th free slot receives the k-th packed cap triangle.
+    # k-th free slot receives the k-th packed cap triangle. One-hot
+    # contraction, not packed[rank]: the row gather batches to an
+    # ms-scale XLA gather under the candidate vmap (caps were ~1.7 ms of
+    # the decomposition's finish stage), while the (T, T) select fuses.
     free = ~base_mask
     rank = jnp.cumsum(free.astype(jnp.int32)) - free.astype(jnp.int32)
     take = free & (rank < n_extra)
-    shifted = packed[jnp.clip(rank, 0, T - 1)]
+    slot_i = jnp.arange(T, dtype=jnp.int32)
+    sel = (rank[:, None] == slot_i[None, :]).astype(base.dtype)  # (T, T)
+    shifted = jnp.einsum(
+        "ts,sd->td", sel, packed.reshape(T, 9),
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(T, 3, 3)
     out = jnp.where(take[:, None, None], shifted, base)
     out = jnp.where(base_mask[:, None, None], base, out)
     out_mask = base_mask | take
