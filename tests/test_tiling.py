@@ -105,3 +105,10 @@ def test_pumpkin_cells_tile_ach_within_cap_band():
     va, s, _ = _fold("pumpkin", F=96, S=32, C=64)
     assert abs(float(va) - 873.2) < 5.0
     assert float(s) == pytest.approx(float(va), rel=0.03)
+
+
+def test_cube_bench_capacity_tiles():
+    # The bench runs the cube 1k configs at F=26 (workload-fit capacity,
+    # bench.py); pin that it stays inside the same truncation band.
+    va, s, _ = _fold("cube", F=26, S=16, C=128)
+    np.testing.assert_allclose(float(s), float(va), rtol=5e-3)
