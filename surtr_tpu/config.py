@@ -179,6 +179,18 @@ class PhysicsConfig:
     force_pallas_narrowphase: bool = False
                                    # run the Pallas narrowphase off-TPU
                                    # (interpret mode) — parity tests
+    pallas_broadphase: bool = True
+                                   # TPU + broadphase="sorted": fuse the
+                                   # window sweep, stable top-K selection
+                                   # and mutual check into one Pallas
+                                   # kernel over the Morton-sorted table
+                                   # (physics/broadphase_pallas.py). The
+                                   # XLA tail materializes a (Np, 2W, 11)
+                                   # candidate tensor + a (Np, K, K)
+                                   # mutual gather per step
+    force_pallas_broadphase: bool = False
+                                   # run the Pallas broadphase off-TPU
+                                   # (interpret mode) — parity tests
     fused_prep: bool = True        # TPU single-piece path: fuse contact prep
                                    # (slot assembly, k terms, targets, mass
                                    # splitting, solver lane packing) into one

@@ -417,11 +417,29 @@ def physics_step(
     bp_mode = cfg.broadphase
     if bp_mode == "auto":
         bp_mode = "exact" if Np <= cfg.broadphase_block else "sorted"
+    mutual_done = False
     if bp_mode == "sorted":
-        pidx, pok, bp_order, bp_inv, bp_delta = _broadphase_sorted(
-            centers, lo, hi, scene.piece_owner, pvalid, K,
-            cfg.broadphase_window,
-        )
+        if (
+            cfg.pallas_broadphase
+            and not cfg.banded_solver
+            and K <= 2 * cfg.broadphase_window
+            and (on_tpu or cfg.force_pallas_broadphase)
+        ):
+            from surtr_tpu.physics.broadphase_pallas import (
+                broadphase_sorted_pallas,
+            )
+
+            pidx, pok = broadphase_sorted_pallas(
+                centers, lo, hi, scene.piece_owner, pvalid, K,
+                cfg.broadphase_window, interpret=not on_tpu,
+            )
+            bp_order = bp_inv = bp_delta = None
+            mutual_done = True
+        else:
+            pidx, pok, bp_order, bp_inv, bp_delta = _broadphase_sorted(
+                centers, lo, hi, scene.piece_owner, pvalid, K,
+                cfg.broadphase_window,
+            )
     elif bp_mode == "grid":
         pidx, pok = _broadphase_grid(
             centers, lo, hi, scene.piece_owner, pvalid, K,
@@ -434,10 +452,11 @@ def physics_step(
             cfg.broadphase_block,
         )
         bp_order = bp_inv = bp_delta = None
-    partner_lists = pidx[pidx]                     # (Np, K, K)
-    me = jnp.arange(Np, dtype=jnp.int32)[:, None, None]
-    mutual = jnp.any(partner_lists == me, axis=-1)
-    pok = pok & mutual
+    if not mutual_done:
+        partner_lists = pidx[pidx]                 # (Np, K, K)
+        me = jnp.arange(Np, dtype=jnp.int32)[:, None, None]
+        mutual = jnp.any(partner_lists == me, axis=-1)
+        pok = pok & mutual
 
     if profile_stage <= 2:
         return _stage_out(scene, pidx, pok)
