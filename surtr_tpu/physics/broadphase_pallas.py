@@ -150,6 +150,9 @@ def broadphase_sorted_pallas(
     Np = centers.shape[0]
     f = centers.dtype
     code = _morton(centers, valid)
+    # Both permutations stay XLA: a fused in-kernel bitonic sort was built
+    # and measured SLOWER (0.66 ms vs 0.45 for the two argsorts at 10k —
+    # XLA's lane radix sort wins; see ROADMAP).
     order = jnp.argsort(code)
     inv = jnp.argsort(order)
 

@@ -63,3 +63,4 @@ def test_broadphase_pallas_invalid_and_shared_owner():
     owner = np.arange(n) // 2            # pairs share owners: no self-contact
     valid = rng.uniform(size=n) > 0.2
     _check(centers, owner, valid)
+
