@@ -72,6 +72,9 @@ def bench_decomposition_1k(cfg_overrides=None):
         max_face_verts=16,
         max_piece_tris=64,
         voronoi_neighbors=48,
+        voronoi_prefix=24,            # measured plateau 24-32 at F=26
+                                      # (5.15 vs 5.26 ms at prefix 16);
+                                      # exact either way (two-pass filter)
         partial_pattern_cell_cnt=8,   # pattern caching excluded from timing
         general_pattern_cell_cnt=8,
     )
@@ -242,6 +245,7 @@ def bench_batch64_1k(M=64):
         max_face_verts=16,
         max_piece_tris=64,
         voronoi_neighbors=48,
+        voronoi_prefix=24,
         partial_pattern_cell_cnt=8,
         general_pattern_cell_cnt=8,
     )
