@@ -96,6 +96,15 @@ class FractureConfig:
                                  # those steps to a distance test. Exact:
                                  # a masked plane cannot cut its cell.
                                  # 0 = single-pass fold of all planes
+    mesh_pair_pool: bool = True
+                                 # model-scale mesh clip: compact the live
+                                 # (cell, tri) pairs into one flat pool and
+                                 # fold each pooled polygon by its own
+                                 # cell's planes (ops/mesh_clip.py
+                                 # clip_polys_by_rows) instead of clipping
+                                 # per-cell uniform pools (~90% padding at
+                                 # pumpkin scale). False = the per-cell
+                                 # vmapped clip (equivalence-tested)
     voronoi_exact_topk: bool = False
                                  # True = exact top_k for the k-nearest
                                  # bisector selection; False = TPU

@@ -771,15 +771,110 @@ def prepare_fracture(
         cidx, csel, cull_over = jax.lax.map(
             cull_one, (cell_planes_a, cell_pmask_a), batch_size=128
         )
-        ctris = tri_corners[cidx]                              # (C,cap,3,3)
+        if profile_stage == 42:     # sub-profile: active planes + cull
+            return _psum(conv, cidx, csel), None, None
+        if cfg.mesh_pair_pool:
+            # Pair-pool clip: compact the LIVE (cell, tri) pairs into one flat
+            # pool and give every pooled polygon its own cell's planes. The
+            # per-cell uniform pools wasted ~90% of their slots at model scale
+            # (p50 keep ≈ 54 of cull_cap=512) and the vmapped per-cell clip
+            # paid for all of them. Pool capacity is the usual observable cap
+            # (overflow counted into the drop metric); pairs stay grouped by
+            # cell, so per-cell outputs are contiguous runs of the pool.
+            from surtr_tpu.ops.linalg import pack_rows
+            from surtr_tpu.ops.mesh_clip import clip_polys_by_rows, fan_triangles
 
-        def mesh_one(ct, cm_, pl, pm_):
-            return clip_trisoup(ct, cm_, pl, pm_, max_out=Tp)
+            kept_cnt = jnp.sum(csel, axis=1).astype(jnp.int32)     # (C,)
+            PAIR_CAP = int(min(C * cull_cap, max(16 * Tsrc, 1 << 16)))
+            cell_ids = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32)[:, None], (C, cull_cap)
+            )
+            pairs, pair_total = pack_rows(
+                jnp.stack([cell_ids, cidx], axis=-1), kept_cnt, PAIR_CAP
+            )                                                      # (PC, 2)
+            pair_over = jnp.maximum(jnp.sum(kept_cnt) - pair_total, 0)
+            pair_cell = jnp.clip(pairs[:, 0], 0, C - 1)
+            pair_tri = jnp.clip(pairs[:, 1], 0, Tsrc - 1)
+            pair_valid = jnp.arange(PAIR_CAP, dtype=jnp.int32) < pair_total
+            pstart = jnp.minimum(
+                jnp.concatenate(
+                    [jnp.zeros((1,), jnp.int32), jnp.cumsum(kept_cnt)]
+                ),
+                PAIR_CAP,
+            )                                                      # (C+1,)
 
-        mtris, mmask, mdrop = jax.vmap(mesh_one)(
-            ctris, csel, cell_planes_a, cell_pmask_a
-        )
-        mdrop = mdrop + cull_over + act_over
+            if profile_stage == 43:  # sub-profile: pair pack + gathers
+                return _psum(
+                    conv, tri_corners[pair_tri],
+                    cell_planes_a[pair_cell], cell_pmask_a[pair_cell],
+                ), None, None
+            from surtr_tpu.ops.clip_pallas import (
+                _target_is_tpu as _soup_on_tpu,
+            )
+
+            if _soup_on_tpu():
+                # One kernel for the whole K-plane fold: the XLA scan paid
+                # ~30 ops/plane of dispatch overhead plus an 80 MB per-pair
+                # plane gather (measured 51 + 19.6 ms of the pumpkin 1k
+                # event); the kernel reconstructs each lane's plane table
+                # with a one-hot MXU matmul instead.
+                from surtr_tpu.ops.soup_clip_pallas import (
+                    soup_clip_pooled_pallas,
+                )
+
+                poly, nvp, mrun_drops = soup_clip_pooled_pallas(
+                    tri_corners[pair_tri], pair_valid, pair_cell,
+                    cell_planes_a, cell_pmask_a,
+                )
+            else:
+                poly, nvp, mrun_drops = clip_polys_by_rows(
+                    tri_corners[pair_tri], pair_valid,
+                    cell_planes_a[pair_cell], cell_pmask_a[pair_cell],
+                    seg_starts=pstart, seg_id=pair_cell,
+                )
+            if profile_stage == 44:  # sub-profile: pooled clip fold
+                return _psum(conv, poly, nvp, mrun_drops), None, None
+            fans, fcnt = fan_triangles(poly, nvp)                  # (PC,S,3,3)
+
+            # Per-cell Tp clamp BEFORE the global pack: a pair may emit only
+            # into its cell's remaining budget, so the packed stream holds at
+            # most Tp fans per cell and no cell can starve another.
+            cumf = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(fcnt)]
+            )                                                      # (PC+1,)
+            cellbase = cumf[pstart]                                # (C+1,)
+            off = cumf[:-1] - cellbase[pair_cell]                  # (PC,)
+            allowed = jnp.clip(Tp - off, 0, fcnt)
+            fan_drop = jnp.sum(fcnt * pair_valid) - jnp.sum(allowed * pair_valid)
+            Sfan = fans.shape[1]
+            packed, _ftot = pack_rows(
+                fans.reshape(PAIR_CAP, Sfan, 9), allowed, C * Tp
+            )
+            cuma = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(allowed)]
+            )
+            fanbase = cuma[pstart]                                 # (C+1,)
+            cellfan = fanbase[1:] - fanbase[:-1]                   # (C,) ≤ Tp
+            slot_t = jnp.arange(Tp, dtype=jnp.int32)
+            idx = jnp.clip(fanbase[:-1, None] + slot_t[None], 0, C * Tp - 1)
+            mmask = slot_t[None, :] < cellfan[:, None]
+            mtris = jnp.where(
+                mmask[..., None, None], packed[idx].reshape(C, Tp, 3, 3), 0.0
+            )
+            # cull_over is per-cell (C,) — collapse it, the rest are
+            # scalars (a broadcast here summed the scalars C times).
+            mdrop = (
+                jnp.sum(cull_over) + act_over + pair_over + fan_drop
+                + mrun_drops
+            )
+        else:  # per-cell uniform pools (equivalence fallback)
+            ctris = tri_corners[cidx]                          # (C,cap,3,3)
+            mtris, mmask, mdrop = jax.vmap(
+                lambda ct, cm_, pl, pm_: clip_trisoup(
+                    ct, cm_, pl, pm_, max_out=Tp
+                )
+            )(ctris, csel, cell_planes_a, cell_pmask_a)
+            mdrop = mdrop + cull_over + act_over
     else:
         def mesh_one(pl, pm_):
             return clip_trisoup(tri_corners, tmask, pl, pm_, max_out=Tp)

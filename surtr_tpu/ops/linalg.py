@@ -64,14 +64,20 @@ def pack_rows(vals: jax.Array, counts: jax.Array, S_out: int):
     cumc = jnp.cumsum(counts)
     total = cumc[-1]
     j = jnp.arange(S_out, dtype=counts.dtype)
-    row = jnp.searchsorted(cumc, j, side="right").astype(jnp.int32)
+    # method="sort": the default binary-search lowering measured 3× slower
+    # at pool scale (29.8 vs 9.3 ms for 131k probes over a 164k table on
+    # the TPU tunnel).
+    row = jnp.searchsorted(
+        cumc, j, side="right", method="sort"
+    ).astype(jnp.int32)
     rowc = jnp.minimum(row, T - 1)
     base = cumc[rowc] - counts[rowc]
     intra = jnp.clip(j - base, 0, S - 1)
     flat = rowc * S + intra
     out = vals.reshape(T * S, D)[flat]
     valid = j < total
-    return jnp.where(valid[:, None], out, 0.0), jnp.minimum(total, S_out)
+    zero = jnp.zeros((), vals.dtype)
+    return jnp.where(valid[:, None], out, zero), jnp.minimum(total, S_out)
 
 
 def compact_big(vals: jax.Array, flags: jax.Array, S_out: int, chunk: int = 128):

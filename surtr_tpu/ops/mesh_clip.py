@@ -21,10 +21,19 @@ import jax
 import jax.numpy as jnp
 
 
-def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol):
+def _clip_polys_plane(
+    poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol,
+    any_removed=None,
+):
     """SH-clip a batch of small CONVEX polygons by one plane.
 
-    poly: (T, S, 3); n_vert: (T,). Returns same shapes. Keeps n·x + d < 0.
+    poly: (T, S, 3); n_vert: (T,); plane: (4,) shared, or (T, 4) per-row
+    (the pair-pool mesh clip gives every pooled polygon its own cell
+    plane). ``any_removed``: the "this plane removes material" context for
+    the in-plane-polygon drop rule — None = global any over the batch (the
+    per-cell soup semantics); the pair pool passes a per-row per-CELL
+    reduction so unrelated cells sharing the pool don't leak into each
+    other's rule. Returns same shapes. Keeps n·x + d < 0.
 
     Cyclic-run emission (same trick as the Pallas conv clip kernel): a plane
     cuts a convex loop in at most two edges, so the kept vertices are one
@@ -34,7 +43,10 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
     the O(S²) one-hot compaction, which dominated the model-scale mesh
     clip (measured 152 ms of the pumpkin 1k fold)."""
     T, S, _ = poly.shape
-    n, d = plane[:3], plane[3]
+    if plane.ndim == 1:
+        n, d = plane[:3], plane[3]
+    else:
+        n, d = plane[:, None, :3], plane[:, None, 3]
     slot = jnp.arange(S, dtype=jnp.int32)
     m = slot[None, :] < n_vert[:, None]
     dist = jnp.sum(poly * n, axis=-1) + d
@@ -108,7 +120,8 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
     # cap face re-covers the full cross-section — keeping both double-layers
     # the surface (breaks ray parity and island labeling).
     inplane = jnp.all((jnp.abs(dist) <= tol) | ~m, axis=1) & (n_vert > 0)
-    any_removed = jnp.any(m & (dist > tol))
+    if any_removed is None:
+        any_removed = jnp.any(m & (dist > tol))
     n_out = jnp.where(inplane & any_removed, 0, n_out)
     # Convexity guard: a convex loop has EXACTLY one kept cyclic run. If
     # f32 drift ever produces a kept/removed/kept classification, the run
@@ -117,9 +130,7 @@ def _clip_polys_plane(poly: jax.Array, n_vert: jax.Array, plane: jax.Array, tol)
     # every other capacity loss).
     multirun = nstarts > 1
     n_out = jnp.where(multirun, 0, n_out)
-    return out, jnp.where(n_out >= 3, n_out, 0), jnp.sum(
-        multirun.astype(jnp.int32)
-    )
+    return out, jnp.where(n_out >= 3, n_out, 0), multirun
 
 
 @functools.partial(jax.jit, static_argnames=("max_out", "poly_slots", "tol"))
@@ -148,10 +159,10 @@ def clip_trisoup(
     def body(carry, xs):
         poly, n_vert, mdrop = carry
         plane, ok = xs
-        p2, n2, dmr = _clip_polys_plane(poly, n_vert, plane, tol)
+        p2, n2, mrun = _clip_polys_plane(poly, n_vert, plane, tol)
         poly = jnp.where(ok, p2, poly)
         n_vert = jnp.where(ok, n2, n_vert)
-        mdrop = mdrop + jnp.where(ok, dmr, 0)
+        mdrop = mdrop + jnp.where(ok, jnp.sum(mrun.astype(jnp.int32)), 0)
         return (poly, n_vert, mdrop), None
 
     (poly, n_vert, multirun_drops), _ = jax.lax.scan(
@@ -186,6 +197,78 @@ def clip_trisoup(
     out_valid = jnp.arange(max_out) < total
     dropped = jnp.maximum(total - max_out, 0) + multirun_drops
     return out, out_valid, dropped
+
+
+def clip_polys_by_rows(
+    corners: jax.Array,
+    valid: jax.Array,
+    planes: jax.Array,
+    pmask: jax.Array,
+    seg_starts: jax.Array | None = None,
+    seg_id: jax.Array | None = None,
+    poly_slots: int = 8,
+    tol: float = 1e-6,
+):
+    """Clip P independent triangles, each by ITS OWN plane list.
+
+    The pair-pool mesh clip: instead of clipping a per-cell triangle pool
+    of uniform capacity (90% padding at model scale — p50 keep is ~54 of a
+    512-slot pool), the pipeline compacts the live (cell, triangle) pairs
+    into one flat pool and every pooled polygon folds its own cell's
+    planes. corners: (P, 3, 3); valid: (P,); planes: (P, K, 4); pmask:
+    (P, K). ``seg_starts`` (C+1,) / ``seg_id`` (P,): rows grouped by cell
+    in CONTIGUOUS runs — used to evaluate the in-plane-polygon drop rule
+    per cell (scatter-free: boundary cumsum differences + one gather).
+    Returns (poly (P, S, 3), n_vert (P,), multirun_drops)."""
+    P = corners.shape[0]
+    S = poly_slots
+    poly = jnp.zeros((P, S, 3), corners.dtype).at[:, :3].set(corners)
+    n_vert = jnp.where(valid, 3, 0).astype(jnp.int32)
+    slot = jnp.arange(S, dtype=jnp.int32)
+
+    def body(carry, xs):
+        poly, n_vert, mdrop = carry
+        pl, ok = xs                                   # (P, 4), (P,)
+        ctx = None
+        if seg_starts is not None:
+            dist = jnp.sum(poly * pl[:, None, :3], -1) + pl[:, None, 3]
+            m = slot[None, :] < n_vert[:, None]
+            rm = (jnp.any(m & (dist > tol), axis=1) & ok).astype(jnp.int32)
+            cs = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(rm)])
+            per_seg = cs[seg_starts[1:]] - cs[seg_starts[:-1]]
+            ctx = (per_seg > 0)[seg_id]               # (P,) bool
+        p2, n2, mrun = _clip_polys_plane(
+            poly, n_vert, pl, tol, any_removed=ctx
+        )
+        poly = jnp.where(ok[:, None, None], p2, poly)
+        n_vert = jnp.where(ok, n2, n_vert)
+        mdrop = mdrop + jnp.sum((mrun & ok).astype(jnp.int32))
+        return (poly, n_vert, mdrop), None
+
+    (poly, n_vert, drops), _ = jax.lax.scan(
+        body,
+        (poly, n_vert, jnp.int32(0)),
+        (jnp.swapaxes(planes, 0, 1), jnp.swapaxes(pmask, 0, 1)),
+    )
+    return poly, n_vert, drops
+
+
+def fan_triangles(poly: jax.Array, n_vert: jax.Array):
+    """Fan re-triangulation of padded polygons: (P, S, 3) + counts →
+    ((P, S, 3, 3) fan triangles, (P,) triangle counts = max(n−2, 0))."""
+    P, S, _ = poly.shape
+    fan = jnp.arange(S, dtype=jnp.int32)
+    i1 = jnp.minimum(fan + 1, S - 1)
+    i2 = jnp.minimum(fan + 2, S - 1)
+    tris = jnp.stack(
+        [
+            jnp.broadcast_to(poly[:, 0:1, :], (P, S, 3)),
+            poly[:, i1, :],
+            poly[:, i2, :],
+        ],
+        axis=2,
+    )
+    return tris, jnp.maximum(n_vert - 2, 0)
 
 
 def point_in_mesh(points: jax.Array, corners: jax.Array, tri_valid: jax.Array):

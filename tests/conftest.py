@@ -38,9 +38,25 @@ assert len(jax.devices()) >= 8, (
 
 # Persistent compile cache: the suite is compile-dominated (each fracture /
 # physics config is a fresh jit, ~30-90 s each on CPU). Warm runs drop from
-# ~13 min to a few minutes. Keyed by HLO hash — safe across code changes.
+# ~13 min to a few minutes. Keyed by HLO hash — safe across code changes —
+# but NOT by host CPU: XLA:CPU caches AOT machine code, and an entry written
+# on a different host loads here with a feature-set mismatch warning
+# ("could lead to SIGILL") and subtly different vectorization, which flips
+# fp-tie-sensitive parity tests (measured: the Pallas-vs-XLA narrowphase
+# trajectory test diverged ONLY when executing foreign cache entries). Salt
+# the cache path with a CPU-feature fingerprint so each host compiles its
+# own binaries.
+import hashlib
+
+try:
+    _cpu = next(l for l in open("/proc/cpuinfo") if l.startswith("flags"))
+except Exception:
+    import platform
+
+    _cpu = platform.processor() or "unknown"
+_tag = hashlib.md5(_cpu.encode()).hexdigest()[:8]
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("SURTR_JAX_CACHE", "/root/repo/.jax_cache"),
+    os.environ.get("SURTR_JAX_CACHE", "/root/repo/.jax_cache") + "-cpu-" + _tag,
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -25,7 +25,7 @@ def test_cli_tiny_end_to_end(tmp_path, capsys):
     main([
         "--model", "cube",
         "--preset", "tiny",
-        "--steps", "25",
+        "--steps", "12",
         "--impact", "0,10,0:0,-1,0@5",
         "--size", "64",
         "--shadow", "64",
@@ -37,7 +37,7 @@ def test_cli_tiny_end_to_end(tmp_path, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     res = json.loads(out)
     assert res["model"] == "cube"
-    assert res["steps"] == 25
+    assert res["steps"] == 12
     # impact fractured the initial compound
     assert res["pieces"] > 8 and res["bodies"] > 1
     assert abs(res["volume"] - 27.0) < 0.1
@@ -46,7 +46,7 @@ def test_cli_tiny_end_to_end(tmp_path, capsys):
     assert traj.exists()
     assert len(os.listdir(frames)) >= 2
     t = np.load(traj)["x"]
-    assert t.shape[0] == 25
+    assert t.shape[0] == 12
 
 
 def test_cli_camera_paths():

@@ -172,7 +172,7 @@ def test_medium_config_impact_conserves_volume():
     from surtr_tpu.scene import Scene
 
     sc = Scene("cube", SCENE_CFG)
-    sc.step(30)
+    sc.step(8)
     sc.fire_impact((0, 4.7, -10), (0, 0, 1))
     assert np.isclose(sc.total_volume(), 27.0, rtol=2e-3)
 

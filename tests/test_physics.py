@@ -12,7 +12,9 @@ from surtr_tpu.physics.scene import build_scene, piece_world_verts
 from surtr_tpu.physics.step import physics_step
 from surtr_tpu.types import translate_poly, unit_cube
 
-PCFG = PhysicsConfig(broadphase_block=64)
+# max_hull_verts=16: every hull in this file is a unit cube (8 verts) —
+# the default 64 pads the narrowphase tensors 8x for nothing on CPU.
+PCFG = PhysicsConfig(broadphase_block=64, max_hull_verts=16)
 
 
 def make_pieces(offsets, groups):
@@ -281,49 +283,53 @@ def test_sustained_push_wakes_sleeper():
 
 def test_pallas_narrowphase_matches_xla():
     """The fused Pallas SAT+manifold kernel must reproduce the XLA
-    narrowphase. Compared STEPWISE from the same evolving state: long
-    joint trajectories eventually diverge on measure-zero SAT-axis ties
-    (different fp summation order flips a tie-break), which is not a
-    correctness signal."""
-    import dataclasses
-
-    # Jittered, tie-free poses: exactly axis-aligned cube pairs tie many
-    # SAT axes at the same penetration and the first-of-ties pick then
-    # depends on fp summation order.
-    offsets = [
-        [0.013, -1.45, 0.007],
-        [0.051, -0.38, -0.023],
-        [0.31, 0.67, 0.04],
-        [5.0, -1.4, 0.0],
-    ]
-    base = dataclasses.replace(PCFG, pallas_narrowphase=False)
-    forced = dataclasses.replace(
-        PCFG, pallas_narrowphase=True, force_pallas_narrowphase=True
-    )
-    s = build_scene(make_pieces(offsets, list(range(4))), base)
+    narrowphase. Compared as SINGLE steps from independent random states
+    with strong rotations: a settling trajectory aligns boxes face-to-face
+    where several SAT axes tie at the same penetration, and the
+    first-of-ties pick then depends on the backend's fp summation order
+    (measured: a 30-step settle hit such ties on 4 of 5 jitter seeds,
+    env-dependently). Strongly rotated overlapping boxes have unique SAT
+    minima, so parity there is a real correctness check."""
     import dataclasses as dc
 
     from surtr_tpu.physics.rigid import quat_normalize
 
-    key = jax.random.PRNGKey(3)
-    dq = 0.02 * jax.random.normal(key, (4, 4))
-    q = quat_normalize(s.bodies.q + dq)
-    s = dc.replace(s, bodies=dc.replace(s.bodies, q=q))
+    base = dc.replace(PCFG, pallas_narrowphase=False)
+    forced = dc.replace(
+        PCFG, pallas_narrowphase=True, force_pallas_narrowphase=True
+    )
     step_x = jax.jit(lambda s: physics_step(s, base))
     step_p = jax.jit(lambda s: physics_step(s, forced))
-    for _ in range(30):
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        # Overlapping cluster + one grounded + one far-away box.
+        offs = jnp.concatenate(
+            [
+                jax.random.uniform(k1, (3, 3), minval=-0.6, maxval=0.6)
+                + jnp.asarray([0.0, -0.8, 0.0]),
+                jnp.asarray([[5.0, -1.45, 0.0]]),
+            ]
+        )
+        s = build_scene(make_pieces(offs.tolist(), list(range(4))), base)
+        q = quat_normalize(
+            s.bodies.q + 0.35 * jax.random.normal(k2, (4, 4))
+        )
+        v = 0.5 * jax.random.normal(k3, (4, 3))
+        s = dc.replace(
+            s, bodies=dc.replace(s.bodies, q=q, v=v)
+        )
         s_x = step_x(s)
         s_p = step_p(s)
         np.testing.assert_allclose(
-            np.asarray(s_p.bodies.v), np.asarray(s_x.bodies.v), atol=1e-5
+            np.asarray(s_p.bodies.v), np.asarray(s_x.bodies.v), atol=1e-5,
+            err_msg=f"seed {seed}",
         )
         np.testing.assert_allclose(
-            np.asarray(s_p.bodies.w), np.asarray(s_x.bodies.w), atol=1e-5
+            np.asarray(s_p.bodies.w), np.asarray(s_x.bodies.w), atol=1e-5,
+            err_msg=f"seed {seed}",
         )
-        np.testing.assert_allclose(
-            np.asarray(s_p.bodies.x), np.asarray(s_x.bodies.x), atol=1e-6
-        )
-        s = s_x
+
 
 
 def test_broadphase_sorted_vs_exact_on_dense_pile():
@@ -376,12 +382,19 @@ def test_broadphase_sorted_vs_exact_on_dense_pile():
         PCFG, broadphase="sorted", single_piece_bodies=True
     )
     s0 = build_scene(make_pieces(offs.tolist(), list(range(n))), cfg_e)
-    step_e = jax.jit(lambda s: physics_step(s, cfg_e))
-    step_s = jax.jit(lambda s: physics_step(s, cfg_s))
-    s_e, s_s = s0, s0
-    for _ in range(150):  # ~1.25 s — the 1.45-unit drop settles by ~0.9 s
-        s_e = step_e(s_e)
-        s_s = step_s(s_s)
+    # ~1.25 s — the 1.45-unit drop settles by ~0.9 s. One scanned dispatch
+    # per config (300 per-step dispatches dominated this test's runtime).
+    run_e = jax.jit(
+        lambda s: jax.lax.scan(
+            lambda c, _: (physics_step(c, cfg_e), None), s, None, length=150
+        )[0]
+    )
+    run_s = jax.jit(
+        lambda s: jax.lax.scan(
+            lambda c, _: (physics_step(c, cfg_s), None), s, None, length=150
+        )[0]
+    )
+    s_e, s_s = run_e(s0), run_s(s0)
     ye = np.sort(np.asarray(s_e.bodies.x[:, 1]))
     ys = np.sort(np.asarray(s_s.bodies.x[:, 1]))
     # Bulk structure stays comparable. The measured gap (sorted settles

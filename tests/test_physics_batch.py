@@ -15,7 +15,9 @@ from surtr_tpu.physics.scene import build_scene
 from surtr_tpu.physics.step import physics_step
 from surtr_tpu.types import translate_poly, unit_cube
 
-PCFG = PhysicsConfig(broadphase_block=64)
+# max_hull_verts=16: every hull in this file is a unit cube (8 verts) —
+# the default 64 pads the narrowphase tensors 8x for nothing on CPU.
+PCFG = PhysicsConfig(broadphase_block=64, max_hull_verts=16)
 
 
 def _scene(dx):

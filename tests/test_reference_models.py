@@ -40,6 +40,8 @@ def test_bunny_decomposition_volume_bounds():
         voronoi_neighbors=7,
         partial_pattern_cell_cnt=4,
         general_pattern_cell_cnt=4,
+        max_islands=1,          # volume-bound assertions only (see pumpkin)
+        island_grid_res=32,
     )
     pieces, ctx, met = prepare_fracture(
         jnp.asarray(v),
@@ -90,6 +92,10 @@ def test_pumpkin_capped_mesh_volume_parity():
         voronoi_neighbors=7,
         partial_pattern_cell_cnt=4,
         general_pattern_cell_cnt=4,
+        # Volume assertions only: island splitting conserves volume and the
+        # parity grid feeds only the island merge — run both cheap.
+        max_islands=1,
+        island_grid_res=32,
     )
     pieces, ctx, met = prepare_fracture(
         jnp.asarray(v),

@@ -79,7 +79,7 @@ def test_pallas_raster_matches_jnp_path():
     from surtr_tpu.render.raster_pallas import rasterize_ids_pallas
 
     rng = np.random.default_rng(3)
-    T = 300
+    T = 160
     centers = rng.uniform(-3, 3, (T, 1, 3)).astype(np.float32)
     tris = jnp.asarray(centers + rng.normal(0, 0.4, (T, 3, 3)).astype(np.float32))
     # one screen-large triangle (ground-quad analogue) exercises the head path
@@ -88,7 +88,7 @@ def test_pallas_raster_matches_jnp_path():
     )
     valid = jnp.ones((T,), bool)
     cam = perspective(45, 1.0, 0.1, 100) @ look_at((7, 5, 7), (0, 0, 0))
-    W = H = 128
+    W = H = 96
 
     clip = _project(tris, cam)
     clip2, ok2 = near_clip(clip, valid)
