@@ -240,6 +240,96 @@ def raster_screen(
     return depth, tid
 
 
+def _shade_deferred(
+    tris_world, colors, cam_vp, light_vp, light_dir,
+    depth, tid2, sdepth, W: int, H: int, shadow_size: int,
+    ambient: float, bias: float,
+):
+    """Flat-shading shading pass from the depth/id buffers alone.
+
+    World positions come from unprojecting (pixel, z-buffer) through
+    inv(cam_vp); per-pixel triangle attributes are ONE bf16 gather of a
+    (T, 6) [face normal, color] table (near-clip sub-triangles share their
+    source triangle's id, so the table lives in the original T domain).
+    The 9-tap PCF stack is quantized to i16 (±5e-5 depth error, far below
+    the 2e-3 slope-scaled bias) — halves the dominant (H·W, 9) gather's
+    bytes. Semantics match the reference shading path (Shader.hlsli:97-145)
+    to quantization.
+    """
+    T = tris_world.shape[0]
+    hit = tid2 >= 0
+    idx = jnp.clip(tid2, 0, 2 * T - 1) % T
+
+    n_t = jnp.cross(
+        tris_world[:, 1] - tris_world[:, 0],
+        tris_world[:, 2] - tris_world[:, 0],
+    )
+    n_t = n_t / jnp.maximum(
+        jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
+    )
+    table = jnp.concatenate([n_t, colors], axis=1).astype(jnp.bfloat16)
+    pa = table[idx].astype(jnp.float32)                 # (H, W, 6)
+    n = pa[..., 0:3]
+    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    base = pa[..., 3:6]
+
+    # Unproject: screen → NDC → world (w-divide). Background pixels carry
+    # BIG depth — substitute a mid z so the matmul stays finite (masked out
+    # at compose time).
+    px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
+    py = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
+    ndc_x = jnp.broadcast_to(px * (2.0 / W) - 1.0, (H, W))
+    ndc_y = jnp.broadcast_to(1.0 - py * (2.0 / H), (H, W))
+    z = jnp.where(hit, depth, 0.5)
+    inv_vp = jnp.linalg.inv(cam_vp)
+    ndc_h = jnp.stack(
+        [ndc_x, ndc_y, z, jnp.ones_like(z)], axis=-1
+    )                                                   # (H, W, 4)
+    world_h = jnp.einsum("ij,hwj->hwi", inv_vp, ndc_h,
+                         precision=jax.lax.Precision.HIGHEST)
+    wdiv = world_h[..., 3]
+    wdiv = jnp.where(jnp.abs(wdiv) > 1e-12, wdiv, 1.0)
+    wpos = world_h[..., :3] / wdiv[..., None]
+
+    ldir = -jnp.asarray(light_dir, jnp.float32)
+    ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)
+    diffuse = jnp.maximum(jnp.sum(n * ldir, axis=-1), 0.0)
+    slope = 1.0 / jnp.maximum(jnp.abs(jnp.sum(n * ldir, axis=-1)), 0.15)
+
+    ones = jnp.ones(wpos.shape[:-1] + (1,), wpos.dtype)
+    lclip = jnp.einsum(
+        "ij,hwj->hwi", light_vp, jnp.concatenate([wpos, ones], -1)
+    )
+    lx = (lclip[..., 0] + 1.0) * 0.5 * shadow_size
+    ly = (1.0 - lclip[..., 1]) * 0.5 * shadow_size
+    lz = lclip[..., 2]
+
+    # i16-quantized pre-shifted PCF stack: q = round(clip(v, -1, 2) · 1e4).
+    QS = 10000.0
+    sq = jnp.round(jnp.clip(sdepth, -1.0, 2.0) * QS).astype(jnp.int16)
+    sp = jnp.pad(sq, 1, mode="edge")
+    stack = jnp.stack(
+        [
+            sp[1 + dy : 1 + dy + shadow_size, 1 + dx : 1 + dx + shadow_size]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ],
+        axis=-1,
+    ).reshape(shadow_size * shadow_size, 9)
+    ix = jnp.clip(lx.astype(jnp.int32), 0, shadow_size - 1)
+    iy = jnp.clip(ly.astype(jnp.int32), 0, shadow_size - 1)
+    sd9 = stack[iy * shadow_size + ix]                  # (H, W, 9) i16
+    qlz = jnp.round(
+        jnp.clip(lz - bias * slope, -1.0, 2.0) * QS
+    ).astype(jnp.int16)
+    shadow = jnp.mean((qlz[..., None] <= sd9).astype(jnp.float32), axis=-1)
+
+    lit = base * (ambient + diffuse * shadow)[..., None]
+    bg = jnp.asarray([0.12, 0.15, 0.18], jnp.float32)
+    img = jnp.where(hit[..., None], lit, bg)
+    return jnp.clip(img, 0.0, 1.0), depth
+
+
 @functools.partial(
     jax.jit, static_argnames=("W", "H", "shadow_size", "cfg", "wireframe")
 )
@@ -283,6 +373,20 @@ def render_scene(
     depth, tid2 = raster_screen(sx, sy, sz, ok2, W, H)
     hit = tid2 >= 0
     t2 = jnp.clip(tid2, 0, 2 * T - 1)
+
+    if normals is None and not wireframe:
+        # Fast deferred path (flat shading — the interactive-loop config).
+        # Random row gathers on this backend cost ~ per-row DMA overhead ×
+        # bytes (tools/bench_gather.py: (H·W, 24) f32 rows 4.2 ms, 9-lane
+        # bf16 2.1, i16 2.3) — so instead of gathering per-triangle vertex
+        # attributes and re-deriving barycentrics, reconstruct the world
+        # position by UNPROJECTING the depth buffer (NDC z is affine in
+        # screen space, so the z-buffer value is exact for the winning
+        # plane) and gather only a 6-lane bf16 [normal, color] table.
+        return _shade_deferred(
+            tris_world, colors, cam_vp, light_vp, light_dir,
+            depth, tid2, sdepth, W, H, shadow_size, ambient, bias,
+        )
 
     # Per-tri attributes in the 2T domain, fetched with ONE packed gather
     # (separate row gathers cost ~ms each on this backend).
