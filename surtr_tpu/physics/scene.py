@@ -69,11 +69,15 @@ def _dedup_verts(fv: jax.Array, sm: jax.Array, Vh: int):
     first = jnp.min(jnp.where(eq, idx[None, :], n), axis=1)
     is_first = m & (first == idx)
     tgt = jnp.cumsum(is_first.astype(jnp.int32)) - is_first.astype(jnp.int32)
-    out = (
-        jnp.zeros((Vh + 1, 3), fv.dtype)
-        .at[jnp.where(is_first & (tgt < Vh), tgt, Vh)]
-        .set(pts, mode="drop")[:Vh]
-    )
+    # Scatter-free compaction: one-hot (Vh, n) contraction instead of a
+    # batched scatter (vmapped scatters are ~10× slower on this backend).
+    keep = is_first & (tgt < Vh)
+    onehot = (
+        keep[None, :] & (tgt[None, :] == jnp.arange(Vh)[:, None])
+    ).astype(fv.dtype)
+    out = jax.lax.dot(
+        onehot, pts, precision=jax.lax.Precision.HIGHEST
+    )                                                        # (Vh, 3) exact
     cnt = jnp.minimum(jnp.sum(is_first), Vh)
     return out, jnp.arange(Vh) < cnt
 
@@ -197,22 +201,55 @@ def build_scene(
     owner_raw = jnp.where(pieces.valid, pieces.group, -1).astype(jnp.int32)
     sort_key = jnp.where(owner_raw >= 0, owner_raw, B)
     order = jnp.argsort(sort_key)
-    owner_sorted = owner_raw[order]
     key_sorted = sort_key[order]
     seg_start = jnp.searchsorted(
         key_sorted, jnp.arange(B + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
+    # ONE packed (P, D) gather for every per-piece field (row gathers cost
+    # ~1 ms each on this backend — six separate ``[order]`` gathers were
+    # most of the rebuild stage of the fused frame). Bools ride as 0/1 f32,
+    # the owner id as f32 (exact for B ≤ 2^24).
+    F = planes_local.shape[1]
+    Ne = edges.shape[1]
+    f32 = jnp.float32
+    payload = jnp.concatenate(
+        [
+            jnp.where(vmask[..., None], verts, 0.0).reshape(P, Vh * 3),
+            (vmask & pieces.valid[:, None]).astype(f32),
+            planes_local.reshape(P, F * 4),
+            (pieces.convex.face_mask() & pieces.valid[:, None]).astype(f32),
+            edges.reshape(P, Ne * 3),
+            (emask & pieces.valid[:, None]).astype(f32),
+            owner_raw.astype(f32)[:, None],
+            pieces.valid.astype(f32)[:, None],
+        ],
+        axis=1,
+    )[order]
+    o = 0
+    def take(n):
+        nonlocal o
+        s = payload[:, o:o + n]
+        o += n
+        return s
+    verts_s = take(Vh * 3).reshape(P, Vh, 3)
+    vmask_s = take(Vh) > 0.5
+    planes_s = take(F * 4).reshape(P, F, 4)
+    pmask_s = take(F) > 0.5
+    edges_s = take(Ne * 3).reshape(P, Ne, 3)
+    emask_s = take(Ne) > 0.5
+    owner_sorted = take(1)[:, 0].astype(jnp.int32)
+    valid_s = take(1)[:, 0] > 0.5
     # Bodies with pieces beyond B (invalid) are excluded: clamp final edge.
     return PhysicsScene(
         bodies=bodies,
         piece_owner=owner_sorted,
-        piece_valid=pieces.valid[order],
-        piece_verts=jnp.where(vmask[..., None], verts, 0.0)[order],
-        piece_vmask=(vmask & pieces.valid[:, None])[order],
-        piece_planes=planes_local[order],
-        piece_pmask=(pieces.convex.face_mask() & pieces.valid[:, None])[order],
-        piece_edges=edges[order],
-        piece_emask=(emask & pieces.valid[:, None])[order],
+        piece_valid=valid_s,
+        piece_verts=verts_s,
+        piece_vmask=vmask_s,
+        piece_planes=planes_s,
+        piece_pmask=pmask_s,
+        piece_edges=edges_s,
+        piece_emask=emask_s,
         seg_start=seg_start,
         sleep_frames=jnp.zeros((B,), jnp.int32),
         push_frames=jnp.zeros((B,), jnp.int32),
