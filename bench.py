@@ -396,10 +396,72 @@ def bench_interactive_frame():
     return ms
 
 
+# ---------------------------------------------------------------------------
+# Self-budgeting driver (round-4 fix for the rc=124 / parsed:null record of
+# round 3: the driver's window must ALWAYS receive one complete JSON line).
+#
+#  * The headline (decomp_1k + physics_10k) runs first; a complete JSON line
+#    is printed to stdout the moment it lands.
+#  * Extended metrics run only while wall-clock remains under
+#    SURTR_BENCH_BUDGET_S (default 1200 s); each one that completes replaces
+#    the stdout JSON line with a fuller one (the LAST stdout line is always
+#    the most complete snapshot, and every line is valid JSON on its own).
+#  * SIGTERM/SIGALRM (what `timeout` sends) flush the current snapshot and
+#    exit cleanly, so even a hard external cutoff leaves a parseable record.
+# ---------------------------------------------------------------------------
+
+_BUDGET_S = float(os.environ.get("SURTR_BENCH_BUDGET_S", "1200"))
+_T0 = time.time()
+_RESULTS: dict = {}
+_FINALIZED = False
+
+
+def _emit(final=False):
+    """Emit the current snapshot as one JSON line. Intermediate snapshots go
+    to stderr (progress record); only the headline and the final/cutoff
+    snapshot go to stdout, so stdout carries at most two JSON lines and the
+    LAST one is always the most complete."""
+    _RESULTS["bench_wall_s"] = round(time.time() - _T0, 1)
+    line = json.dumps(_RESULTS)
+    if final:
+        print(line, flush=True)
+    else:
+        log(line)
+
+
+def _finalize_and_exit(signum=None, frame=None):
+    global _FINALIZED
+    if not _FINALIZED:
+        _FINALIZED = True
+        log(f"[bench] cut off (signal {signum}) — flushing snapshot")
+        _emit(final=True)
+    os._exit(0)
+
+
+def _remaining():
+    return _BUDGET_S - (time.time() - _T0)
+
+
 def main():
+    import signal
+
+    signal.signal(signal.SIGTERM, _finalize_and_exit)
+    signal.signal(signal.SIGALRM, _finalize_and_exit)
+    # Hard backstop 30 s past the soft budget: if a single compile wedges us,
+    # the alarm still flushes whatever completed.
+    signal.alarm(int(_BUDGET_S) + 30)
+
     backend = jax.default_backend()
-    t0 = time.time()
-    log(f"[bench] backend={backend}")
+    log(f"[bench] backend={backend} budget={_BUDGET_S:.0f}s")
+    _RESULTS.update(
+        {
+            "metric": "1k-seed fracture decomposition + 10k-fragment physics step",
+            "value": -1.0,
+            "unit": "ms",
+            "vs_baseline": -1.0,
+            "backend": backend,
+        }
+    )
 
     # Measured per-dispatch floor of this backend (the axon tunnel adds
     # ~25 ms per dispatch that real locally-attached TPUs don't have). The
@@ -412,69 +474,68 @@ def main():
 
     floor_ms = timeit(_null, jnp.float32(0))
     log(f"[bench] dispatch_floor={floor_ms:.2f} ms")
+    _RESULTS["dispatch_floor_ms"] = round(floor_ms, 3)
+
+    # --- headline, highest priority ---
     decomp_ms, n_pieces, vol = bench_decomposition_1k()
-    log(f"[bench] decomp_1k={decomp_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
+    log(f"[bench] decomp_1k={decomp_ms:.2f} ms ({time.time()-_T0:.0f}s elapsed)")
     phys_ms = bench_physics_10k()
-    log(f"[bench] physics_10k={phys_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
-    cube_ms = bench_cube32()
-    log(f"[bench] cube32={cube_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
-    b64_ms, b64_per = bench_batch64_1k()
-    log(
-        f"[bench] batch64_1k={b64_ms:.1f} ms total, {b64_per:.2f} ms/mesh "
-        f"({time.time()-t0:.0f}s elapsed)"
-    )
-    render_ms = bench_render()
-    log(f"[bench] render={render_ms:.2f} ms ({time.time()-t0:.0f}s elapsed)")
-    render1k_ms = bench_render(shadow=1024)
-    log(
-        f"[bench] render_shadow1024={render1k_ms:.2f} ms "
-        f"({time.time()-t0:.0f}s elapsed)"
-    )
-    try:
-        iframe_ms = bench_interactive_frame()
-        log(
-            f"[bench] interactive_frame={iframe_ms:.2f} ms "
-            f"({time.time()-t0:.0f}s elapsed)"
-        )
-    except Exception as e:
-        log(f"[bench] interactive_frame FAILED: {e}")
-        iframe_ms = -1.0
-    try:
-        pump_ms, pump_tris, pump_pieces = bench_decomposition_1k_model(
-            "pumpkin"
-        )
-        log(
-            f"[bench] decomp_1k_pumpkin={pump_ms:.2f} ms "
-            f"({pump_tris} src tris, ~{pump_pieces:.0f} pieces, "
-            f"{time.time()-t0:.0f}s elapsed)"
-        )
-    except Exception as e:  # model-scale config can exhaust HBM — report,
-        log(f"[bench] decomp_1k_pumpkin FAILED: {e}")     # don't die
-        pump_ms, pump_tris = -1.0, 0
+    log(f"[bench] physics_10k={phys_ms:.2f} ms ({time.time()-_T0:.0f}s elapsed)")
     total = decomp_ms + phys_ms
-    out = {
-        "metric": "1k-seed fracture decomposition + 10k-fragment physics step",
-        "value": round(total, 3),
-        "unit": "ms",
-        "vs_baseline": round(total / 10.0, 4),
-        "decomposition_1k_ms": round(decomp_ms, 3),
-        "physics_10k_ms": round(phys_ms, 3),
-        "dispatch_floor_ms": round(floor_ms, 3),
-        "decomposition_1k_device_ms": round(decomp_ms - floor_ms / 64, 3),
-        "physics_10k_device_ms": round(phys_ms - floor_ms / 64, 3),
-        "cube32_impact_ms": round(cube_ms, 3),
-        "batch64_1k_total_ms": round(b64_ms, 3),
-        "batch64_1k_per_mesh_ms": round(b64_per, 3),
-        "render_512_ms": round(render_ms, 3),
-        "render_shadow1024_ms": round(render1k_ms, 3),
-        "interactive_frame_ms": round(iframe_ms, 3),
-        "decomp_1k_pumpkin_ms": round(pump_ms, 3),
-        "pumpkin_src_tris": pump_tris,
-        "decomp_pieces": n_pieces,
-        "backend": backend,
-        "bench_wall_s": round(time.time() - t0, 1),
-    }
-    print(json.dumps(out))
+    _RESULTS.update(
+        {
+            "value": round(total, 3),
+            "vs_baseline": round(total / 10.0, 4),
+            "decomposition_1k_ms": round(decomp_ms, 3),
+            "physics_10k_ms": round(phys_ms, 3),
+            "decomposition_1k_device_ms": round(decomp_ms - floor_ms / 64, 3),
+            "physics_10k_device_ms": round(phys_ms - floor_ms / 64, 3),
+            "decomp_pieces": n_pieces,
+        }
+    )
+    _emit(final=True)  # the headline is on stdout no matter what happens below
+
+    # --- extended metrics, cheapest-compile first, budget-gated ---
+    def run_gated(key_fields, fn, min_budget_s=90):
+        """Run one extended metric if budget remains; fold results in."""
+        names = key_fields if isinstance(key_fields, tuple) else (key_fields,)
+        if _remaining() < min_budget_s:
+            log(f"[bench] SKIP {names[0]} (only {_remaining():.0f}s left)")
+            for n in names:
+                _RESULTS.setdefault(n, -1.0)
+            _RESULTS.setdefault("skipped", []).append(names[0])
+            return
+        try:
+            vals = fn()
+            vals = vals if isinstance(vals, tuple) else (vals,)
+            for n, v in zip(names, vals):
+                _RESULTS[n] = round(v, 3) if isinstance(v, float) else v
+            log(
+                f"[bench] {names[0]}={vals[0]:.2f} "
+                f"({time.time()-_T0:.0f}s elapsed)"
+            )
+        except Exception as e:
+            log(f"[bench] {names[0]} FAILED: {e}")
+            for n in names:
+                _RESULTS.setdefault(n, -1.0)
+        _emit()
+
+    run_gated("cube32_impact_ms", bench_cube32)
+    run_gated(
+        ("batch64_1k_total_ms", "batch64_1k_per_mesh_ms"), bench_batch64_1k
+    )
+    run_gated("render_512_ms", bench_render)
+    run_gated("render_shadow1024_ms", lambda: bench_render(shadow=1024))
+    run_gated("interactive_frame_ms", bench_interactive_frame, min_budget_s=150)
+    run_gated(
+        ("decomp_1k_pumpkin_ms", "pumpkin_src_tris"),
+        lambda: bench_decomposition_1k_model("pumpkin")[:2],
+        min_budget_s=180,
+    )
+
+    global _FINALIZED
+    _FINALIZED = True
+    _emit(final=True)
 
 
 if __name__ == "__main__":

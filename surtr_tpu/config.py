@@ -105,6 +105,32 @@ class FractureConfig:
                                  # per-cell uniform pools (~90% padding at
                                  # pumpkin scale). False = the per-cell
                                  # vmapped clip (equivalence-tested)
+    exact_caps: bool = True
+                                 # True = exact cut-surface caps (the
+                                 # reference's closed-polyhedron clip
+                                 # semantics, Poly.cpp:265-554 /
+                                 # VMACH.cpp:699-813): cap = convex cut
+                                 # face ∩ solid cross-section, signed-fan
+                                 # triangulated from the clipped surface's
+                                 # on-plane edges + probed convex-edge
+                                 # intervals (ops/caps.py). Fixes concave-
+                                 # model overshoot (bunny convex total was
+                                 # 1.705× mesh volume with the old refit-
+                                 # face caps). False = caps from the refit
+                                 # convex's cut faces (exact for convex
+                                 # models only).
+    cap_faces: int = 16          # cut faces processed per candidate (cube32
+                                 # cells carry up to ~14 live cut faces;
+                                 # CF=12 dropped faces and leaked volume)
+    cap_edges: int = 48          # on-plane surface edges kept per cut face
+    cap_crossings: int = 6       # splits per convex-face edge at crossings
+                                 # with the surface cross-section
+    cap_tris: int = 128          # compacted cap fan triangles per candidate
+    cap_pool: int = 128          # cap boundary vertices added to the refit
+                                 # vertex pool per candidate
+    cap_probe_nudge: float = 1e-4
+                                 # inward probe offset (× max axis scale)
+                                 # for the inside-solid interval tests
     voronoi_exact_topk: bool = False
                                  # True = exact top_k for the k-nearest
                                  # bisector selection; False = TPU

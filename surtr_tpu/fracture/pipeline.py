@@ -77,19 +77,8 @@ def convex_out_of_sphere(
     return ~vert_inside & ~cloud_inside & ~poly.is_empty()
 
 
-def _match_cut_faces(poly: ConvexPoly, cut_planes, cut_mask, scale, tol=1e-4):
-    """(F,) bool — faces of ``poly`` whose plane equals one of the cut planes
-    (cap faces carry the cut plane bitwise, so a loose tolerance suffices)."""
-    from surtr_tpu.ops.linalg import supports
-
-    n = poly.planes[..., :3]
-    d = poly.planes[..., 3]
-    ndot = supports(
-        n, jnp.broadcast_to(cut_planes[:, :3], n.shape[:-2] + cut_planes[:, :3].shape)
-    )
-    dm = jnp.abs(d[..., None] - cut_planes[None, :, 3])
-    hit = (jnp.abs(ndot - 1.0) < tol) & (dm < tol * scale) & cut_mask[None, :]
-    return jnp.any(hit, axis=-1) & poly.face_mask()
+# Cut-face matching shared with the exact-caps module.
+from surtr_tpu.ops.caps import match_cut_faces as _match_cut_faces  # noqa: E402
 
 
 def cut_face_tris(poly: ConvexPoly, face_sel):
@@ -893,20 +882,20 @@ def prepare_fracture(
     # a cell of a non-convex model can clip into disjoint chunks.
     cpl, cpm = cell_planes_a, cell_pmask_a
     cand_ok = jnp.ones((C,), bool)
+    # Every candidate shares the one closed SOURCE solid here, so the
+    # inside-solid queries (island merge tests AND exact-cap probes) sample
+    # a precomputed parity grid instead of per-query winding numbers
+    # (~420 ms/event at pumpkin scale). The build costs ~R²·T·R compares —
+    # only worth it when the query volume (candidates × probes × source
+    # tris) dwarfs it; tiny sources / few cells keep the exact winding path.
+    Tsrc_i = tri_corners.shape[0]
+    use_grid = cfg.island_grid_res > 0 and C >= 64 and Tsrc_i >= 512
+    solid_grid = (
+        build_parity_grid(tri_corners, tmask, res=cfg.island_grid_res)
+        if use_grid
+        else None
+    )
     if cfg.max_islands > 1 and cfg.island_pool > 0:
-        # Every candidate shares the one closed SOURCE solid here, so the
-        # inside-solid queries sample a precomputed parity grid instead of
-        # per-query winding numbers (~420 ms/event at pumpkin scale). The
-        # build costs ~R²·T·R compares — only worth it when the query
-        # volume (candidates × probes × source tris) dwarfs it; tiny
-        # sources / few cells keep the exact winding path.
-        Tsrc_i = tri_corners.shape[0]
-        use_grid = cfg.island_grid_res > 0 and C >= 64 and Tsrc_i >= 512
-        solid_grid = (
-            build_parity_grid(tri_corners, tmask, res=cfg.island_grid_res)
-            if use_grid
-            else None
-        )
         mmask0, x_cand, x_mmask, x_valid = _split_mesh_islands(
             conv, mtris, mmask, solid_t, solid_m, mas, cfg,
             solid_grid=solid_grid,
@@ -926,8 +915,13 @@ def prepare_fracture(
     if profile_stage <= 6:
         return _psum(conv, mtris, mmask, cand_ok, pp, gp), None, None
 
-    out = _finish_pieces(conv, mtris, mmask, cpl, cpm, solid_t, solid_m, mas, cfg)
-    conv, mtris, mmask, cand_valid = out
+    out = _finish_pieces(
+        conv, mtris, mmask, cpl, cpm, solid_t, solid_m, mas, cfg,
+        solid_grid=solid_grid,
+    )
+    conv, mtris, mmask, cand_valid, cap_drop = out
+    # mdrop may be per-cell (C,) on the non-pooled paths — collapse first.
+    mdrop = jnp.sum(mdrop) + cap_drop
     cand_valid = cand_valid & cand_ok
     N = cand_valid.shape[0]
 
@@ -952,16 +946,21 @@ def prepare_fracture(
 
 
 def _finish_pieces(
-    conv, mtris, mmask, cut_planes, cut_mask, solid_corners, solid_mask, mas, cfg
+    conv, mtris, mmask, cut_planes, cut_mask, solid_corners, solid_mask, mas,
+    cfg, solid_grid=None,
 ):
     """Shared tail of both fracture entry points: occupancy test, refit,
     cap generation. All inputs batched over candidates (leading axis);
     cut_planes/cut_mask are the half-spaces that produced each candidate
     ((N, Kc, 4) / (N, Kc)); solid_corners/solid_mask are per-candidate source
-    solids ((N, Ts, 3, 3) / (N, Ts)).
+    solids ((N, Ts, 3, 3) / (N, Ts)). ``solid_grid``: optional precomputed
+    inside-solid parity grid when every candidate shares one source solid
+    (prepare) — used by the exact-caps probes.
 
     The refit clip runs as ONE batched plane fold (the Pallas VMEM kernel on
-    TPU) — per-candidate work around it stays vmapped."""
+    TPU) — per-candidate work around it stays vmapped.
+
+    Returns (conv2, mtris2, mmask2, cand_valid, cap_dropped)."""
     F, S = cfg.max_faces, cfg.max_face_verts
 
     # Occupancy: surface triangles present, or convex centroid inside the
@@ -974,17 +973,42 @@ def _finish_pieces(
     )
     cand_valid = ~conv.is_empty() & (has_tris | inside)
 
-    # Refit vertex pool: clipped surface corners + pre-refit cut-face verts.
-    def pool_one(cv, tris, tmask_, planes_, pmask_):
-        cut_sel = _match_cut_faces(cv, planes_, pmask_, mas)
-        cap_v = cv.face_verts.reshape(-1, 3)
-        cap_m = (cv.slot_mask() & cut_sel[:, None]).reshape(-1)
-        surf_v = tris.reshape(-1, 3)
-        surf_m = jnp.repeat(tmask_, 3)
-        return jnp.concatenate([surf_v, cap_v]), jnp.concatenate([surf_m, cap_m])
-
-    pool, pool_m = jax.vmap(pool_one)(conv, mtris, mmask, cut_planes, cut_mask)
     from surtr_tpu.ops.clip_pallas import _target_is_tpu
+
+    cap_dropped = jnp.int32(0)
+    if cfg.exact_caps:
+        # Exact closed-mesh caps (reference Poly.cpp:265-554 semantics):
+        # cap = pre-refit convex cut face ∩ solid cross-section, and the
+        # refit pool gets only TRUE-boundary cap vertices — together these
+        # close the concave-model parity gap (PARITY.md divergence 1).
+        from surtr_tpu.ops.caps import cap_fans_batch
+
+        cap_rows, cap_ok, cap_pv, cap_pm, cap_dropped = cap_fans_batch(
+            conv, mtris, mmask, cut_planes, cut_mask,
+            solid_corners, solid_mask, mas, cfg, solid_grid=solid_grid,
+        )
+        N = mtris.shape[0]
+        pool = jnp.concatenate([mtris.reshape(N, -1, 3), cap_pv], axis=1)
+        pool_m = jnp.concatenate(
+            [jnp.repeat(mmask, 3, axis=1), cap_pm], axis=1
+        )
+    else:
+        # Legacy pool: clipped surface corners + pre-refit cut-face verts
+        # (overshoots on concave models — kept for A/B measurement).
+        def pool_one(cv, tris, tmask_, planes_, pmask_):
+            cut_sel = _match_cut_faces(cv, planes_, pmask_, mas)
+            cap_v = cv.face_verts.reshape(-1, 3)
+            cap_m = (cv.slot_mask() & cut_sel[:, None]).reshape(-1)
+            surf_v = tris.reshape(-1, 3)
+            surf_m = jnp.repeat(tmask_, 3)
+            return (
+                jnp.concatenate([surf_v, cap_v]),
+                jnp.concatenate([surf_m, cap_m]),
+            )
+
+        pool, pool_m = jax.vmap(pool_one)(
+            conv, mtris, mmask, cut_planes, cut_mask
+        )
 
     if cfg.refitting_point_limit <= 4 and _target_is_tpu():
         # One kernel for the whole tetra-hull + k-DOP refit (the vmapped
@@ -999,22 +1023,37 @@ def _finish_pieces(
         )(pool, pool_m)
     conv2 = clip_planes_batch(conv, slabs, slab_m)
 
-    # Caps from the refit convex's cut faces.
-    def caps_one(refit, tris, tmask_, planes_, pmask_):
-        cut2 = _match_cut_faces(refit, planes_, pmask_, mas)
-        cap_rows, cap_counts = cut_face_tris(refit, cut2)
-        tris2, tmask2, _ = _append_tris(tris, tmask_, cap_rows, cap_counts)
-        return tris2, tmask2
+    if cfg.exact_caps:
+        def caps_append(tris, tmask_, rows, ok):
+            tris2, tmask2, drop = _append_tris(
+                tris, tmask_, rows[:, None], ok.astype(jnp.int32)
+            )
+            return tris2, tmask2, drop
 
-    mtris2, mmask2 = jax.vmap(caps_one)(
-        conv2, mtris, mmask, cut_planes, cut_mask
-    )
+        mtris2, mmask2, app_drop = jax.vmap(caps_append)(
+            mtris, mmask, cap_rows, cap_ok
+        )
+        cap_dropped = cap_dropped + jnp.sum(app_drop)
+    else:
+        # Caps from the refit convex's cut faces.
+        def caps_one(refit, tris, tmask_, planes_, pmask_):
+            cut2 = _match_cut_faces(refit, planes_, pmask_, mas)
+            cap_rows, cap_counts = cut_face_tris(refit, cut2)
+            tris2, tmask2, drop = _append_tris(
+                tris, tmask_, cap_rows, cap_counts
+            )
+            return tris2, tmask2, drop
+
+        mtris2, mmask2, app_drop = jax.vmap(caps_one)(
+            conv2, mtris, mmask, cut_planes, cut_mask
+        )
+        cap_dropped = cap_dropped + jnp.sum(app_drop)
 
     # Invalidate empties.
     nv = jnp.where(cand_valid[:, None], conv2.n_verts, 0)
     conv2 = ConvexPoly(conv2.face_verts, nv, conv2.planes)
     mmask2 = mmask2 & cand_valid[:, None]
-    return conv2, mtris2, mmask2, cand_valid
+    return conv2, mtris2, mmask2, cand_valid, cap_dropped
 
 
 def _pack_candidates(conv, mtris, mmask, valid, group, tag, vol, P, Tp, F, S):
@@ -1189,10 +1228,11 @@ def do_fracture(
     cpmask_flat = cells.face_mask()[cell_of]
 
     # Occupancy / refit / caps against each candidate's *source piece* solid.
-    conv2, mtris2, mmask2, cand_valid = _finish_pieces(
+    conv2, mtris2, mmask2, cand_valid, cap_drop = _finish_pieces(
         conv, mtris, mmask, cplanes_flat, cpmask_flat,
         src_mesh[src_of], src_mmask[src_of], mas, cfg,
     )
+    mdrop = jnp.sum(mdrop) + cap_drop
     cand_valid = cand_valid & src_valid
     if profile_stage <= 4:  # + finish (occupancy/refit/caps)
         return _psum(conv2, mtris2, mmask2, cand_valid), None

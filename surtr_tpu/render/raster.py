@@ -247,14 +247,18 @@ def _shade_deferred(
 ):
     """Flat-shading shading pass from the depth/id buffers alone.
 
-    World positions come from unprojecting (pixel, z-buffer) through
-    inv(cam_vp); per-pixel triangle attributes are ONE bf16 gather of a
-    (T, 6) [face normal, color] table (near-clip sub-triangles share their
-    source triangle's id, so the table lives in the original T domain).
-    The 9-tap PCF stack is quantized to i16 (±5e-5 depth error, far below
-    the 2e-3 slope-scaled bias) — halves the dominant (H·W, 9) gather's
-    bytes. Semantics match the reference shading path (Shader.hlsli:97-145)
-    to quantization.
+    World positions come from intersecting each pixel's view ray with the
+    hit triangle's PLANE (an f32 (T, 4) plane-table gather): unprojecting
+    the f32 NDC z-buffer amplifies depth quantization by ~z²/near, giving
+    unbounded wpos error at far/grazing pixels (advisor r3: mean ~16 world
+    units on the ground plane; shadow lookups visibly diverged) — the
+    ray-plane form is exact up to the plane itself. Shading attributes
+    remain ONE bf16 gather of a (T, 6) [face normal, color] table
+    (near-clip sub-triangles share their source triangle's id, so the
+    tables live in the original T domain). The 9-tap PCF stack is quantized
+    to i16 (±5e-5 depth error, far below the 2e-3 slope-scaled bias) —
+    halves the dominant (H·W, 9) gather's bytes. Semantics match the
+    reference shading path (Shader.hlsli:97-145) to quantization.
     """
     T = tris_world.shape[0]
     hit = tid2 >= 0
@@ -272,24 +276,41 @@ def _shade_deferred(
     n = pa[..., 0:3]
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
     base = pa[..., 3:6]
+    # Geometry needs full precision: (n, n·v0) as a separate f32 gather
+    # (1 MB extra at 512² — the bf16 normal alone tilts the plane ~0.4%).
+    plane_t = jnp.concatenate(
+        [n_t, jnp.sum(n_t * tris_world[:, 0], -1, keepdims=True)], axis=1
+    )                                                   # (T, 4) f32
+    pl = plane_t[idx]                                   # (H, W, 4)
 
-    # Unproject: screen → NDC → world (w-divide). Background pixels carry
-    # BIG depth — substitute a mid z so the matmul stays finite (masked out
-    # at compose time).
+    # Pixel view rays: unproject NDC z=0 and z=1 once through inv(cam_vp),
+    # then intersect with the hit plane — no dependence on the z-buffer.
     px = jnp.arange(W, dtype=jnp.float32)[None, :] + 0.5
     py = jnp.arange(H, dtype=jnp.float32)[:, None] + 0.5
     ndc_x = jnp.broadcast_to(px * (2.0 / W) - 1.0, (H, W))
     ndc_y = jnp.broadcast_to(1.0 - py * (2.0 / H), (H, W))
-    z = jnp.where(hit, depth, 0.5)
     inv_vp = jnp.linalg.inv(cam_vp)
-    ndc_h = jnp.stack(
-        [ndc_x, ndc_y, z, jnp.ones_like(z)], axis=-1
-    )                                                   # (H, W, 4)
-    world_h = jnp.einsum("ij,hwj->hwi", inv_vp, ndc_h,
-                         precision=jax.lax.Precision.HIGHEST)
-    wdiv = world_h[..., 3]
-    wdiv = jnp.where(jnp.abs(wdiv) > 1e-12, wdiv, 1.0)
-    wpos = world_h[..., :3] / wdiv[..., None]
+
+    def unproj(zc):
+        ndc_h = jnp.stack(
+            [ndc_x, ndc_y, jnp.full_like(ndc_x, zc), jnp.ones_like(ndc_x)],
+            axis=-1,
+        )
+        world_h = jnp.einsum("ij,hwj->hwi", inv_vp, ndc_h,
+                             precision=jax.lax.Precision.HIGHEST)
+        wdiv = world_h[..., 3]
+        wdiv = jnp.where(jnp.abs(wdiv) > 1e-12, wdiv, 1.0)
+        return world_h[..., :3] / wdiv[..., None]
+
+    x0 = unproj(0.0)
+    x1 = unproj(1.0)
+    ray = x1 - x0
+    ndot0 = jnp.sum(pl[..., :3] * x0, -1)
+    ndotr = jnp.sum(pl[..., :3] * ray, -1)
+    tstar = (pl[..., 3] - ndot0) / jnp.where(
+        jnp.abs(ndotr) > 1e-12, ndotr, 1.0
+    )
+    wpos = x0 + tstar[..., None] * ray
 
     ldir = -jnp.asarray(light_dir, jnp.float32)
     ldir = ldir / jnp.maximum(jnp.linalg.norm(ldir), 1e-12)

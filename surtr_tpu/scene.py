@@ -86,6 +86,36 @@ class Scene:
         else:
             verts, tris = model
         verts = np.asarray(verts, np.float32) + np.asarray(spawn, np.float32)
+        # Convex-model dispatch: the legacy refit-face caps are EXACT for
+        # convex solids (tested vs the f64 oracle), while the exact-caps
+        # machinery (ops/caps.py) costs real time per event — auto-select
+        # it only when the model is actually concave (hull volume exceeds
+        # the mesh volume). Equivalence, not a quality knob.
+        if fcfg.exact_caps:
+            try:
+                from scipy.spatial import ConvexHull
+
+                hull_vol = ConvexHull(np.asarray(verts, np.float64)).volume
+                mesh_vol = abs(
+                    float(
+                        np.einsum(
+                            "ij,ij->i",
+                            verts[tris[:, 0]].astype(np.float64),
+                            np.cross(
+                                verts[tris[:, 1]].astype(np.float64),
+                                verts[tris[:, 2]].astype(np.float64),
+                            ),
+                        ).sum()
+                        / 6.0
+                    )
+                )
+                if mesh_vol > 0 and hull_vol <= mesh_vol * 1.01:
+                    import dataclasses as _dc
+
+                    fcfg = _dc.replace(fcfg, exact_caps=False)
+                    self.cfg = _dc.replace(self.cfg, fracture=fcfg)
+            except Exception:
+                pass  # keep exact caps if the hull test is unavailable
         self.key = jax.random.PRNGKey(seed if seed is not None else fcfg.seed)
 
         corners = jnp.asarray(verts[tris])

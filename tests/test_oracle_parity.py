@@ -118,3 +118,94 @@ def test_reference_scale_drift_vs_oracle():
     assert rel_errs, "all trials degenerate"
     # measured drift ~1e-6..1e-5 relative; bound at 1e-4
     assert max(rel_errs) < 1e-4, rel_errs
+
+
+def _l_prism():
+    """Closed concave test solid: an L-shaped prism (cross-section area 3,
+    height 1 → volume 3). Its plane cross-sections are non-convex, so caps
+    exercise the closed-clip semantics the convex models cannot."""
+    L = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], dtype=np.float64
+    )
+    fan = [(0, 1, 2), (0, 2, 3), (0, 3, 4), (0, 4, 5)]  # all inside this L
+    verts = np.concatenate(
+        [np.concatenate([L, np.zeros((6, 1))], 1),
+         np.concatenate([L, np.ones((6, 1))], 1)]
+    )  # bottom 0-5, top 6-11
+    tris = []
+    for a, b, c in fan:
+        tris.append((a, c, b))              # bottom, outward -z
+        tris.append((6 + a, 6 + b, 6 + c))  # top, outward +z
+    for i in range(6):
+        j = (i + 1) % 6
+        tris.append((i, j, 6 + j))          # sides, outward
+        tris.append((i, 6 + j, 6 + i))
+    return verts, np.asarray(tris, np.int32)
+
+
+def test_exact_caps_match_oracle_on_concave_solid():
+    """Exact caps (ops/caps.py) vs the f64 closed-polyhedron clip
+    (Poly::ClipPolyhedron semantics, /root/reference/Src/Poly.cpp:265-554):
+    clipping the L-prism must leave a CLOSED capped soup whose signed volume
+    matches the oracle's clipped-polyhedron volume — including non-convex
+    and multi-segment caps."""
+    from surtr_tpu.config import FractureConfig
+    from surtr_tpu.ops.caps import cap_fans_batch
+    from surtr_tpu.ops.clip_pallas import clip_planes_batch
+    from surtr_tpu.ops.mesh_clip import clip_trisoup
+    from surtr_tpu.oracle.poly import polyhedron_from_mesh
+    from surtr_tpu.types import scale_poly, translate_poly
+
+    verts, tris = _l_prism()
+    corners = jnp.asarray(verts[tris], jnp.float32)
+    tm = jnp.ones((len(tris),), bool)
+    cfg = FractureConfig(
+        cap_faces=8, cap_edges=48, cap_crossings=6, cap_tris=128,
+        cap_pool=128,
+    )
+    # Bounding box poly of the L-prism, padded.
+    box = translate_poly(
+        scale_poly(unit_cube(F=16, S=12), jnp.asarray([2.0, 2.0, 1.0])),
+        jnp.asarray([1.0, 1.0, 0.5]),
+    )
+    plane_sets = [
+        # horizontal cut: cap IS the concave L cross-section
+        [[0.0, 0.0, 1.0, -0.5]],
+        # diagonal cut through the notch
+        [[0.70710678, 0.70710678, 0.0, -1.6]],
+        # two planes meeting inside the material
+        [[0.0, 0.0, 1.0, -0.6], [1.0, 0.0, 0.0, -1.4]],
+        # oblique
+        [[0.6, 0.48, 0.64, -1.1]],
+    ]
+    oracle_poly = polyhedron_from_mesh(verts, np.asarray(tris))
+    for planes in plane_sets:
+        pl = jnp.asarray(planes, jnp.float32)
+        K = pl.shape[0]
+        pm = jnp.ones((K,), bool)
+        conv = clip_planes_batch(
+            jax.tree_util.tree_map(lambda a: a[None], box),
+            pl[None], pm[None],
+        )
+        mt, mm, _ = clip_trisoup(corners, tm, pl, pm, max_out=192)
+        cap_rows, cap_ok, _, _, dropped = cap_fans_batch(
+            conv, mt[None], mm[None], pl[None], pm[None],
+            corners[None], tm[None], jnp.float32(2.0), cfg,
+        )
+        assert int(dropped) == 0, planes
+        a, b, c = mt[..., 0, :], mt[..., 1, :], mt[..., 2, :]
+        surf = jnp.sum(
+            jnp.where(mm, jnp.sum(a * jnp.cross(b, c), -1), 0.0)
+        )
+        ca, cb, cc2 = (
+            cap_rows[0, :, 0, :], cap_rows[0, :, 1, :], cap_rows[0, :, 2, :]
+        )
+        caps = jnp.sum(
+            jnp.where(cap_ok[0], jnp.sum(ca * jnp.cross(cb, cc2), -1), 0.0)
+        )
+        v_ours = float(surf + caps) / 6.0
+        frag = clip_polyhedron(oracle_poly, np.asarray(planes, np.float64))
+        v_o = moments(frag)[0]
+        assert np.isclose(v_ours, v_o, rtol=2e-3, atol=1e-4), (
+            planes, v_ours, v_o
+        )

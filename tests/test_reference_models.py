@@ -42,6 +42,9 @@ def test_bunny_decomposition_volume_bounds():
         general_pattern_cell_cnt=4,
         max_islands=1,          # volume-bound assertions only (see pumpkin)
         island_grid_res=32,
+        # Cap capacities sized for 8 big cells of a 5002-face model: each
+        # cut face's cross-section carries O(100) boundary edges.
+        cap_edges=96, cap_crossings=8, cap_tris=512, cap_pool=512,
     )
     pieces, ctx, met = prepare_fracture(
         jnp.asarray(v),
@@ -57,9 +60,16 @@ def test_bunny_decomposition_volume_bounds():
     total = float(jnp.where(pieces.valid, vols, 0).sum())
     assert int(pieces.valid.sum()) >= 4
     assert total >= mesh_vol * 0.98
-    # Measured concave-cap bound (PARITY.md divergence 1): bunny convex
-    # total = 1.705× mesh volume at this config.
-    assert total <= mesh_vol * 1.75
+    # Exact caps (round 4, ops/caps.py): refit pools sit on the true solid,
+    # so the convex total drops from the old refit-face-cap 1.705× to the
+    # k-DOP-over-true-boundary 1.525× (the EXACT per-piece convex hulls
+    # total 1.397× at this 8-cell config — a floor no convex decomposition
+    # can beat; our tetra k-DOP is ~9% above it).
+    assert total <= mesh_vol * 1.60
+    # The capped visual meshes must enclose the model volume almost exactly
+    # (measured 0.995× with exact caps; 0.967× with the legacy refit caps).
+    capped = _capped_mesh_volume(pieces)
+    assert abs(capped / mesh_vol - 1.0) <= 0.05
     # ICH face count is reported like the reference's FractureResult.
     assert 4 <= int(met["ich_face_cnt"]) <= 36
 
@@ -96,6 +106,8 @@ def test_pumpkin_capped_mesh_volume_parity():
         # parity grid feeds only the island merge — run both cheap.
         max_islands=1,
         island_grid_res=32,
+        # 8 big cells of a 10k-face model: long cross-section curves.
+        cap_edges=128, cap_crossings=8, cap_tris=512, cap_pool=512,
     )
     pieces, ctx, met = prepare_fracture(
         jnp.asarray(v),
