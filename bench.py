@@ -77,6 +77,11 @@ def bench_decomposition_1k(cfg_overrides=None):
                                       # exact either way (two-pass filter)
         partial_pattern_cell_cnt=8,   # pattern caching excluded from timing
         general_pattern_cell_cnt=8,
+        exact_caps=False,             # cube is CONVEX: legacy refit-face
+                                      # caps are exact for convex solids
+                                      # (oracle-tested) — same dispatch the
+                                      # Scene API applies automatically by
+                                      # measured hull/mesh volume ratio
     )
     v, f = get_model("cube")
     verts = jnp.asarray(v)
@@ -248,6 +253,7 @@ def bench_batch64_1k(M=64):
         voronoi_prefix=24,
         partial_pattern_cell_cnt=8,
         general_pattern_cell_cnt=8,
+        exact_caps=False,   # convex model (see bench_decomposition_1k)
     )
     v, f = get_model("cube")
     verts = jnp.broadcast_to(jnp.asarray(v)[None], (M,) + v.shape)
@@ -282,6 +288,7 @@ def bench_cube32():
         partial_pattern_cell_cnt=128,
         voronoi_neighbors=48,
         general_pattern_cell_cnt=8,
+        exact_caps=False,   # convex model (see bench_decomposition_1k)
     )
     v, f = get_model("cube")
     cloud = jnp.asarray(sphere_point_cloud())

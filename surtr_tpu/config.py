@@ -266,6 +266,19 @@ class PhysicsConfig:
                                    # while a settling neighbor's Baumgarte
                                    # bounce cycle separates or reverses
                                    # every few frames and resets the count
+    wake_hops: int = 2             # island wake: spread a wake disturbance
+                                   # this many contact-graph hops per step
+                                   # (PhysX wakes whole contact islands; a
+                                   # support knocked out under a sleeping
+                                   # stack wakes the bodies above at
+                                   # hops/step). Sleep ONSET stays per-body
+                                   # — atomic island sleep thrashes under
+                                   # the Jacobi solver (see step.py note).
+                                   # 0 = wake on direct approach only
+    skip_all_asleep: bool = True   # lax.cond the whole contact/solve stage
+                                   # out when EVERY active body is asleep —
+                                   # a fully settled scene costs one
+                                   # predicate instead of a full step
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
     broadphase: str = "auto"       # "sorted" = Morton-window sweep (O(N·W),

@@ -63,7 +63,9 @@ def match_cut_faces(poly, cut_planes, cut_mask, scale, tol=1e-4):
     return jnp.any(hit, axis=-1) & poly.face_mask()
 
 
-def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
+def _cap_candidates_one(
+    conv, mtris, mmask, cut_planes, cut_mask, mas, cfg, profile_stage=99
+):
     """Phase 1 (single candidate): geometry of all potential cap fans.
 
     Returns a dict of padded per-cut-face tensors:
@@ -86,24 +88,37 @@ def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
     Tp = mtris.shape[0]
     tol_on = 1e-5 * jnp.maximum(mas, 1.0)
 
+    # Front-compact the cut faces and gather their data with ONE one-hot
+    # contraction — vmapped top_k lowers to batched variadic sorts and
+    # vmapped row gathers are ms-scale on this backend (the round-2/3
+    # measured rules the whole pipeline is built around).
     cut_sel = match_cut_faces(conv, cut_planes, cut_mask, mas)   # (F,)
-    score = jnp.where(cut_sel, -jnp.arange(F, dtype=jnp.float32), -BIG)
-    _, cf_idx = jax.lax.top_k(score, min(CF, F))
-    cf_ok = cut_sel[cf_idx]
-    if CF > F:  # pad (static)
-        cf_idx = jnp.concatenate([cf_idx, jnp.zeros((CF - F,), cf_idx.dtype)])
-        cf_ok = jnp.concatenate([cf_ok, jnp.zeros((CF - F,), bool)])
-    n_cf_over = jnp.maximum(jnp.sum(cut_sel) - CF, 0)
+    pos = jnp.cumsum(cut_sel.astype(jnp.int32)) - cut_sel.astype(jnp.int32)
+    oh = (
+        cut_sel[None, :] & (pos[None, :] == jnp.arange(CF)[:, None])
+    ).astype(conv.face_verts.dtype)                              # (CF, F)
+    n_cf = jnp.sum(cut_sel)
+    cf_ok = jnp.arange(CF) < n_cf
+    n_cf_over = jnp.maximum(n_cf - CF, 0)
 
-    loops = conv.face_verts[cf_idx]                              # (CF, S, 3)
-    nv = conv.n_verts[cf_idx]                                    # (CF,)
-    pls = conv.planes[cf_idx]                                    # (CF, 4)
+    # Broadcast-multiply-sum, not einsum: (CF, F) x (F, ...) is the tiny
+    # batched-matmul shape the MXU handles poorly (ops/linalg.py).
+    loops = jnp.sum(
+        oh[:, :, None, None] * conv.face_verts[None], axis=1
+    )                                                            # (CF, S, 3)
+    nv = jnp.sum(oh * conv.n_verts[None].astype(oh.dtype), axis=1).astype(
+        jnp.int32
+    )
+    pls = jnp.sum(oh[:, :, None] * conv.planes[None], axis=1)    # (CF, 4)
 
     # --- dA: on-plane edges of the final clipped surface soup -------------
-    # Vertex distances to every cut face's plane: (CF, Tp, 3).
+    # Vertex distances to every cut face's plane: (CF, Tp, 3) — broadcast
+    # multiply-add on the VPU, NOT einsum (batched tiny matmuls are the
+    # known-bad shape on this backend, see ops/linalg.py).
     dv = (
-        jnp.einsum("fk,tck->ftc", pls[:, :3], mtris,
-                   precision=jax.lax.Precision.HIGHEST)
+        pls[:, None, None, 0] * mtris[None, :, :, 0]
+        + pls[:, None, None, 1] * mtris[None, :, :, 1]
+        + pls[:, None, None, 2] * mtris[None, :, :, 2]
         + pls[:, 3, None, None]
     )
     on = jnp.abs(dv) < tol_on                                    # (CF, Tp, 3)
@@ -120,18 +135,22 @@ def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
     n_a_over = jnp.sum(
         jnp.maximum(jnp.sum(e_ok, axis=1) - NA, 0) * cf_ok
     )
-    sc = jnp.where(e_ok, -jnp.arange(3 * Tp, dtype=jnp.float32)[None], -BIG)
-    _, eidx = jax.lax.top_k(sc, min(NA, 3 * Tp))
-    a_ok = jnp.take_along_axis(e_ok, eidx, axis=1)
-    # Cap traverses the shared edge OPPOSITE to the surface triangle
-    # (closed-mesh orientation): cap edge p->q = (b -> a).
-    a_p = jnp.take_along_axis(eb, eidx[..., None], axis=1)
-    a_q = jnp.take_along_axis(ea, eidx[..., None], axis=1)
-    if NA > 3 * Tp:
-        pad = NA - 3 * Tp
-        a_ok = jnp.concatenate([a_ok, jnp.zeros((CF, pad), bool)], axis=1)
-        a_p = jnp.concatenate([a_p, jnp.zeros((CF, pad, 3))], axis=1)
-        a_q = jnp.concatenate([a_q, jnp.zeros((CF, pad, 3))], axis=1)
+    # Front-compaction by one-hot contraction (see linalg.compact; the
+    # top_k form is a batched variadic sort). Cap edge p->q = (b -> a):
+    # the cap traverses the shared edge OPPOSITE to the surface triangle
+    # (closed-mesh orientation).
+    from surtr_tpu.ops.linalg import compact
+
+    if profile_stage <= 1:   # face selection + on-plane edge masks
+        return {"_p": jnp.sum(e_ok) + jnp.sum(loops) + jnp.sum(dv)}
+    packed, n_a = compact(
+        jnp.concatenate([eb, ea], axis=-1), e_ok, NA
+    )                                                            # (CF, NA, 6)
+    a_p = packed[..., 0:3]
+    a_q = packed[..., 3:6]
+    a_ok = jnp.arange(NA)[None, :] < n_a[:, None]
+    if profile_stage <= 2:   # + dA compaction
+        return {"_p": jnp.sum(packed) + jnp.sum(n_a)}
 
     # --- dB: loop-edge sub-intervals --------------------------------------
     def per_face(loop, nvf, pl, ap, aq, aok, ok_f):
@@ -174,7 +193,19 @@ def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
             & (tt > 1e-6) & (tt < 1.0 - 1e-6)
             & (uu > -0.05) & (uu < 1.05)
         )
-        ts = jnp.sort(jnp.where(xv, tt, 1.0), axis=1)[:, : X]    # (S, X)
+        # X-pass min extraction, ascending (a vmapped jnp.sort over the NA
+        # axis is a batched sort launch). Masking ALL ties per pass merges
+        # duplicate crossing params — duplicates only produce zero-length
+        # intervals anyway.
+        tt_m = jnp.where(xv, tt, 1.0)
+        ts_cols = []
+        for _ in range(X):
+            m = jnp.min(tt_m, axis=1, keepdims=True)             # (S, 1)
+            ts_cols.append(m)
+            tt_m = jnp.where(tt_m <= m, 1.0, tt_m)
+        ts = jnp.concatenate(ts_cols, axis=1)                    # (S, X)
+        if profile_stage <= 3:  # + crossings + param extraction
+            return {"_p": jnp.sum(ts)}
         bounds = jnp.concatenate(
             [jnp.zeros((S, 1)), ts, jnp.ones((S, 1))], axis=1
         )                                                        # (S, X+2)
@@ -202,6 +233,8 @@ def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
         covered = jnp.any(
             (d2 < eps_cov * eps_cov) & aok[None, None], axis=-1
         )                                                        # (S, X+1)
+        if profile_stage <= 4:  # + dA coverage
+            return {"_p": jnp.sum(covered) + jnp.sum(pts)}
         # Two-sided probe pair: in-plane inward nudge (n x edge for a CCW
         # loop) PLUS an off-plane excursion along ±n. A true cap-boundary
         # edge has material on BOTH sides of the cut plane next to it; a
@@ -214,14 +247,24 @@ def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
         left = left / jnp.where(ln > 1e-30, ln, 1.0)
         d_ = cfg.cap_probe_nudge * mas
         base = mids + left[:, None, :] * d_
+        # Off-plane excursion δ/4 < the in-plane inward nudge: when the cut
+        # plane is PERPENDICULAR to the surface face holding the edge, the
+        # left and ±n components cancel along the face normal (|left·n_S| =
+        # sinθ vs |n_t·n_S| = cosθ) and an equal-δ probe lands exactly ON
+        # the surface — an inside-test coin flip. δ/4 keeps both probes
+        # strictly inside for cut angles θ > ~14°, while the tangent case
+        # (θ = 0, left inside the surface) still straddles and rejects.
         probe = jnp.stack(
-            [base + n * d_, base - n * d_], axis=2
+            [base + n * (0.25 * d_), base - n * (0.25 * d_)], axis=2
         )                                                    # (S, X+1, 2, 3)
         seg2 = (bounds[:, 1:] - bounds[:, :-1]) ** 2 * jnp.sum(e3 * e3, -1)[
             :, None
         ]
         return pts, probe, seg2, edge_ok, covered
 
+    if profile_stage <= 4:
+        out = jax.vmap(per_face)(loops, nv, pls, a_p, a_q, a_ok, cf_ok)
+        return {"_p": out["_p"]}
     b_pts, b_probe, b_elen2, b_edge_ok, b_covered = jax.vmap(per_face)(
         loops, nv, pls, a_p, a_q, a_ok, cf_ok
     )
@@ -238,8 +281,9 @@ def _cap_candidates_one(conv, mtris, mmask, cut_planes, cut_mask, mas, cfg):
     left_a = left_a / jnp.where(ln_a > 1e-30, ln_a, 1.0)
     d_ = cfg.cap_probe_nudge * mas
     a_base = 0.5 * (a_p + a_q) + left_a * d_
+    # Same δ/4 off-plane excursion as the dB probes (see per_face).
     a_probe = jnp.stack(
-        [a_base + nrm * d_, a_base - nrm * d_], axis=2
+        [a_base + nrm * (0.25 * d_), a_base - nrm * (0.25 * d_)], axis=2
     )                                                            # (CF,NA,2,3)
     return {
         "a_p": a_p, "a_q": a_q, "a_ok": a_ok & cf_ok[:, None],
@@ -288,20 +332,17 @@ def _assemble_one(cc, a_inside, b_inside, mas, cfg):
 
     a_tris = tri(origin[:, None], cc["a_p"], cc["a_q"])          # (CF,NA,3,3)
     b_tris = tri(origin[:, None, None], e0, e1)                  # (CF,S,X+1,3,3)
+    # Front-compactions by one-hot contraction (vmapped top_k = batched
+    # variadic sort; see linalg.compact).
+    from surtr_tpu.ops.linalg import compact
+
     rows = jnp.concatenate(
-        [a_tris.reshape(-1, 3, 3), b_tris.reshape(-1, 3, 3)]
+        [a_tris.reshape(-1, 9), b_tris.reshape(-1, 9)]
     )
     oks = jnp.concatenate([a_ok.reshape(-1), keep_b.reshape(-1)])
-    E = rows.shape[0]
-    sc = jnp.where(oks, -jnp.arange(E, dtype=jnp.float32), -BIG)
-    _, take = jax.lax.top_k(sc, min(CT, E))
-    cap_rows = rows[take]
-    cap_ok = oks[take]
-    if CT > E:
-        cap_rows = jnp.concatenate(
-            [cap_rows, jnp.zeros((CT - E, 3, 3))]
-        )
-        cap_ok = jnp.concatenate([cap_ok, jnp.zeros((CT - E,), bool)])
+    cap_rows, n_cap = compact(rows, oks, CT)
+    cap_rows = cap_rows.reshape(CT, 3, 3)
+    cap_ok = jnp.arange(CT) < n_cap
     over = jnp.maximum(jnp.sum(oks) - CT, 0)
 
     # Refit-pool vertices: dB interval endpoints (dA endpoints are surface
@@ -310,14 +351,8 @@ def _assemble_one(cc, a_inside, b_inside, mas, cfg):
         [e0.reshape(-1, 3), e1.reshape(-1, 3)]
     )
     pm = jnp.concatenate([keep_b.reshape(-1), keep_b.reshape(-1)])
-    Ep = pv.shape[0]
-    scp = jnp.where(pm, -jnp.arange(Ep, dtype=jnp.float32), -BIG)
-    _, takep = jax.lax.top_k(scp, min(CP, Ep))
-    pool_v = pv[takep]
-    pool_m = pm[takep]
-    if CP > Ep:
-        pool_v = jnp.concatenate([pool_v, jnp.zeros((CP - Ep, 3))])
-        pool_m = jnp.concatenate([pool_m, jnp.zeros((CP - Ep,), bool)])
+    pool_v, n_pool = compact(pv, pm, CP)
+    pool_m = jnp.arange(CP) < n_pool
     # Pool overflow means some cap vertices are NOT fed to the refit — the
     # refit slabs may then cut the cap (mesh poking out of its convex).
     pool_over = jnp.maximum(jnp.sum(pm) - CP, 0)
@@ -344,7 +379,7 @@ def cap_fans_batch(
     Returns (cap_rows (N, CT, 3, 3), cap_ok (N, CT), pool_v (N, CP, 3),
     pool_m (N, CP), dropped ()).
     """
-    from surtr_tpu.ops.mesh_clip import parity_grid_inside, winding_inside
+    from surtr_tpu.ops.mesh_clip import parity_grid_inside, point_in_mesh
 
     cc = jax.vmap(
         lambda cv, mt, mm, cp, cm: _cap_candidates_one(
@@ -362,7 +397,12 @@ def cap_fans_batch(
         flat = probes.reshape(-1, 3)
         inside = parity_grid_inside(solid_grid, flat).reshape(probes.shape[:2])
     else:
-        inside = jax.vmap(winding_inside)(probes, solid_t, solid_m)
+        # Ray parity, not winding numbers: exact-caps solids are exactly
+        # closed (that is the point of this module), parity is robust to
+        # the signed canceling fan pairs (two crossings), and the winding
+        # form's per-(probe, tri) atan2 was the caps path's largest real
+        # cost (~13 ms of ~20 at 1k cube candidates).
+        inside = jax.vmap(point_in_mesh)(probes, solid_t, solid_m)
     # A boundary edge is real only if BOTH off-plane probes are in material.
     a_inside = jnp.all(
         inside[:, :na].reshape(cc["a_probe"].shape[:4]), axis=-1

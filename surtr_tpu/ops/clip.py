@@ -57,10 +57,14 @@ def _loop_next(fv: jax.Array, nv: jax.Array):
 
 
 def plane_basis(n: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Deterministic orthonormal basis (u, v) with u × v = n (n unit)."""
+    """Deterministic orthonormal basis (u, v) with u × v = n (n unit).
+
+    One-hot compare, NOT ``zeros().at[axis].set(1)``: under a vmap the
+    scatter form lowers to a batched scatter (~ms-scale per launch on the
+    TPU tunnel; the exact-caps path calls this per candidate × cut face)."""
     a = jnp.abs(n)
     axis = jnp.argmin(a)
-    e = jnp.zeros((3,), n.dtype).at[axis].set(1.0)
+    e = (jnp.arange(3) == axis).astype(n.dtype)
     u = jnp.cross(e, n)
     u = u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
     v = jnp.cross(n, u)

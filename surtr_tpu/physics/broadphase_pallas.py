@@ -197,3 +197,197 @@ def broadphase_sorted_pallas(
     pidx_s = pidxT.T[:Np]                               # (Np, K) sorted rows
     pok_s = pokT.T[:Np] > 0
     return pidx_s[inv], pok_s[inv]
+
+
+# ---------------------------------------------------------------------------
+# Exact full-recall sweep (round 4, VERDICT item 3)
+# ---------------------------------------------------------------------------
+
+
+_IMAX = 0x7FFFFFFF  # plain int: a jnp scalar would be a captured const in the kernel
+
+
+def _bp_exact_kernel(
+    packT_ref, packR_ref, cab_ref, pidx_ref, pok_ref, *, K, Np, CH, NCH
+):
+    """One 128-piece block (lanes) vs every chunk of CH pieces (sublanes).
+
+    FULL-recall O(N²) pair sweep: every candidate gets the exact AABB test;
+    the K nearest survive per piece. Selection uses UNIQUE i32 keys
+    (quantized d² << 14 | sorted rank), so top-K extraction is K cheap
+    min-reductions with equality mask-out — no sorts, no cumsums, no
+    gathers. Chunks whose AABB union is disjoint from the block's are
+    skipped with predicated execution (the input is Morton-sorted for
+    locality, but correctness NEVER depends on it — pruning tests true
+    bounding-box disjointness, so recall stays exact on any ordering).
+
+    packT: (16, 128) block fields on lanes; packR: (Np_pad, 16) all pieces
+    rows-major; cab: (NCH, 8) per-chunk AABB unions [lo3, hi3, pad].
+    Output (K, 128): i32 keys of the selected partners (IMAX = none).
+    """
+    blk = packT_ref[:]                                   # (16, 128)
+    bc = blk[0:3]
+    blo = blk[3:6]
+    bhi = blk[6:9]
+    bown = blk[9:10]
+    bval = blk[10:11] > 0.5
+    b = pl.program_id(0)
+    base_r = b * 128 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    # Block AABB union (over valid lanes) for chunk pruning — kept as six
+    # scalars (full reductions) so the pl.when predicates are scalar ops.
+    big = jnp.asarray(BIG, jnp.float32)
+    blo_u = [jnp.min(jnp.where(bval, blo[a : a + 1], big)) for a in range(3)]
+    bhi_u = [jnp.max(jnp.where(bval, bhi[a : a + 1], -big)) for a in range(3)]
+
+    QS = jnp.float32(131071.0 / 3.0)
+
+    def chunk_keys(ch):
+        rows = packR_ref[pl.ds(ch * CH, CH), :]          # (CH, 16)
+        rc = rows[:, 0:3]
+        rlo = rows[:, 3:6]
+        rhi = rows[:, 6:9]
+        rown = rows[:, 9:10]
+        rval = rows[:, 10:11] > 0.5
+        grow = ch * CH + jax.lax.broadcasted_iota(
+            jnp.int32, (CH, 1), 0
+        )
+        over = jnp.ones((CH, 128), bool)
+        d2 = jnp.zeros((CH, 128), jnp.float32)
+        for a in range(3):
+            over &= (rlo[:, a : a + 1] <= bhi[a : a + 1, :]) & (
+                blo[a : a + 1, :] <= rhi[:, a : a + 1]
+            )
+            da = rc[:, a : a + 1] - bc[a : a + 1, :]
+            d2 += da * da
+        ok = (
+            over
+            & rval & bval
+            & (rown != bown)
+            & (grow != base_r)
+        )
+        q = jnp.minimum(d2 * QS, 131071.0).astype(jnp.int32)
+        key = (q << 14) | (grow & 16383)
+        return jnp.where(ok, key, jnp.int32(_IMAX))
+
+    def extract_k(keys, K):
+        """K smallest of a (R, 128) unique-key stack, via min + mask-out."""
+        outs = []
+        for _ in range(K):
+            m = jnp.min(keys, axis=0, keepdims=True)     # (1, 128)
+            outs.append(m)
+            keys = jnp.where(keys == m, jnp.int32(_IMAX), keys)
+        return outs
+
+    pidx_ref[:] = jnp.full((K, 128), _IMAX, jnp.int32)
+    for ch in range(NCH):
+        hit = jnp.bool_(True)
+        for a in range(3):
+            hit &= (cab_ref[ch, a] <= bhi_u[a]) & (
+                blo_u[a] <= cab_ref[ch, 3 + a]
+            )
+
+        # Predicated: skipped chunks cost one scalar test. The running
+        # best-K lives in pidx_ref so skipped chunks leave it untouched.
+        @pl.when(hit)
+        def _():
+            keys = chunk_keys(ch)
+            stack = jnp.concatenate([pidx_ref[:], keys], axis=0)
+            pidx_ref[:] = jnp.concatenate(extract_k(stack, K), axis=0)
+
+    best = pidx_ref[:]
+    pidx_ref[:] = best & 16383
+    pok_ref[:] = (best != _IMAX).astype(jnp.int32)
+
+
+def broadphase_exact_pallas(
+    centers, lo, hi, owner, valid, K: int, interpret: bool = False,
+    chunk: int = 512,
+):
+    """Exact (full-recall) broadphase: fused O(N²) AABB sweep in VMEM.
+
+    The PhysX contract is "no missed pairs" (the black box behind
+    /root/reference/Src/Surtr.cpp:330-331); the Morton-window sweep misses
+    20-30% of the exact top-8 on dense piles (ROADMAP rej. 6) and the XLA
+    grid path costs ~20 ms in gathers. At 10k pieces the full pair sweep is
+    only ~100 M AABB tests — VPU-cheap once it never leaves VMEM; a Morton
+    pre-sort gives the block×chunk pruning its locality. Np ≤ 16384 (rank
+    packs into 14 key bits); larger pools use the sorted/grid paths.
+
+    Returns (pidx (Np, K), pok (Np, K)) in ORIGINAL order, NOT mutual-masked
+    (callers apply the pidx[pidx] mutual check like the other XLA paths).
+    """
+    from surtr_tpu.physics.step import _morton
+
+    Np = centers.shape[0]
+    assert Np <= 16384, "rank field packs into 14 bits"
+    f = centers.dtype
+    code = _morton(centers, valid)
+    order = jnp.argsort(code)
+    inv = jnp.argsort(order)
+
+    pack = jnp.concatenate(
+        [
+            centers, lo, hi,
+            owner[:, None].astype(f), valid[:, None].astype(f),
+            jnp.zeros((Np, 5), f),
+        ],
+        axis=1,
+    )[order]                                             # (Np, 16)
+    # Normalized centers: d² quantization needs a bounded range.
+    big = jnp.asarray(BIG, f)
+    wlo = jnp.min(jnp.where(valid[:, None], centers, big), axis=0)
+    whi = jnp.max(jnp.where(valid[:, None], centers, -big), axis=0)
+    ext = jnp.maximum(jnp.max(whi - wlo), 1e-6)
+    pack = pack.at[:, 0:3].set((pack[:, 0:3] - wlo) / ext)
+
+    Np_pad = max(((Np + 127) // 128) * 128, 128)
+    CH = min(chunk, Np_pad)
+    NCH = (Np_pad + CH - 1) // CH
+    Np_pad = NCH * CH
+    packR = jnp.pad(pack, ((0, Np_pad - Np), (0, 0)))
+    packT = packR.T                                      # (16, Np_pad)
+
+    # Per-chunk AABB unions for the in-kernel pruning.
+    v_pad = jnp.pad(valid[order], (0, Np_pad - Np))[:, None]
+    rlo = jnp.where(v_pad, packR[:, 3:6], big).reshape(NCH, CH, 3)
+    rhi = jnp.where(v_pad, packR[:, 6:9], -big).reshape(NCH, CH, 3)
+    cab = jnp.concatenate(
+        [jnp.min(rlo, axis=1), jnp.max(rhi, axis=1),
+         jnp.zeros((NCH, 2), f)],
+        axis=1,
+    )                                                    # (NCH, 8)
+
+    kernel = functools.partial(
+        _bp_exact_kernel, K=K, Np=Np, CH=CH, NCH=NCH
+    )
+    pidxT, pokT = pl.pallas_call(
+        kernel,
+        grid=(Np_pad // 128,),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        in_specs=[
+            pl.BlockSpec((16, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Np_pad, 16), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((K, Np_pad), jnp.int32),
+            jax.ShapeDtypeStruct((K, Np_pad), jnp.int32),
+        ],
+        interpret=interpret,
+    )(packT, packR, cab)
+
+    rank = pidxT.T[:Np]                                  # (Np, K) sorted rank
+    pok_s = pokT.T[:Np] > 0
+    pidx_s = order[jnp.clip(rank, 0, Np - 1)]
+    return pidx_s[inv], pok_s[inv]

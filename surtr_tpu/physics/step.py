@@ -330,6 +330,31 @@ def physics_step(
     """One fixed step. ``profile_stage`` truncates the step after stage N
     (1=transforms, 2=broadphase, 3=narrowphase, 4=solver) for per-phase device
     timing (SURVEY §5 tracing) — production callers leave the default."""
+    if (
+        cfg.sleep_velocity > 0
+        and cfg.skip_all_asleep
+        and profile_stage >= 99
+    ):
+        # Fully settled scene: one predicate instead of a full step (the
+        # PhysX analogue — a sleeping island costs nothing). Nothing inside
+        # physics_step can wake a scene whose every active body is asleep
+        # (wakes need a moving contact), so the identity branch is exact.
+        bodies0 = scene.bodies
+        all_asleep = jnp.all(
+            (scene.sleep_frames >= cfg.sleep_frames) | ~bodies0.active
+        ) & jnp.any(bodies0.active)
+        return jax.lax.cond(
+            all_asleep,
+            lambda s: s,
+            lambda s: _physics_step_body(s, cfg, profile_stage),
+            scene,
+        )
+    return _physics_step_body(scene, cfg, profile_stage)
+
+
+def _physics_step_body(
+    scene: PhysicsScene, cfg: PhysicsConfig, profile_stage: int = 99
+) -> PhysicsScene:
     dt = cfg.dt
     bodies = scene.bodies
     Np, B = scene.Np, scene.B
@@ -412,13 +437,34 @@ def physics_step(
         return _stage_out(scene, centers, lo_dop, hi_dop)
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
-    # "auto": exact all-pairs while the pool fits one sweep block (cheap and
-    # free of the Morton-window locality approximation), sorted above it.
+    # "auto": FULL-RECALL everywhere it fits (the PhysX contract is "no
+    # missed pairs") — the fused Pallas exact sweep up to 16k pieces on
+    # TPU (round 4; the Morton window missed 20-30% of the exact top-8 on
+    # dense piles), the XLA exact block sweep for small pools, Morton-
+    # window sorted only beyond 16k.
     bp_mode = cfg.broadphase
+    pallas_ok = cfg.pallas_broadphase and not cfg.banded_solver and (
+        on_tpu or cfg.force_pallas_broadphase
+    )
     if bp_mode == "auto":
-        bp_mode = "exact" if Np <= cfg.broadphase_block else "sorted"
+        if Np <= cfg.broadphase_block:
+            bp_mode = "exact"
+        elif pallas_ok and Np <= 16384:
+            bp_mode = "exact_pallas"
+        else:
+            bp_mode = "sorted"
     mutual_done = False
-    if bp_mode == "sorted":
+    if bp_mode == "exact_pallas":
+        from surtr_tpu.physics.broadphase_pallas import (
+            broadphase_exact_pallas,
+        )
+
+        pidx, pok = broadphase_exact_pallas(
+            centers, lo, hi, scene.piece_owner, pvalid, K,
+            interpret=not on_tpu,
+        )
+        bp_order = bp_inv = bp_delta = None
+    elif bp_mode == "sorted":
         if (
             cfg.pallas_broadphase
             and not cfg.banded_solver
@@ -835,7 +881,7 @@ def _fused_prep_solve(
     )
     return _finish_step(
         scene, bodies, v1, w1, dt, cfg, profile_stage,
-        vn0, hit, stat, True, owner,
+        vn0, hit, stat, True, owner, pidx=pidx,
     )
 
 
@@ -1037,7 +1083,7 @@ def _assemble_and_solve(
         vw1 = jnp.concatenate([v1_s, w1_s], axis=1)[bp_inv]
         return _finish_step(
             scene, bodies, vw1[:, 0:3], vw1[:, 3:6], dt, cfg, profile_stage,
-            vn0, hit, is_static, single, myb,
+            vn0, hit, is_static, single, myb, pidx=pidx,
         )
 
     if single and (on_tpu or cfg.force_pallas_solver):
@@ -1054,7 +1100,7 @@ def _assemble_and_solve(
         )
         return _finish_step(
             scene, bodies, v1, w1, dt, cfg, profile_stage,
-            vn0, hit, is_static, single, myb,
+            vn0, hit, is_static, single, myb, pidx=pidx,
         )
 
     S = max(1, cfg.solver_substeps)
@@ -1097,13 +1143,13 @@ def _assemble_and_solve(
 
     return _finish_step(
         scene, bodies, v1, w1, dt, cfg, profile_stage,
-        vn0, hit, is_static, single, myb,
+        vn0, hit, is_static, single, myb, pidx=pidx,
     )
 
 
 def _finish_step(
     scene, bodies, v1, w1, dt, cfg, profile_stage,
-    vn0, hit, is_static, single, myb,
+    vn0, hit, is_static, single, myb, pidx=None,
 ):
     """Sleep bookkeeping + stage-5 integration."""
     if profile_stage <= 4:
@@ -1116,6 +1162,32 @@ def _finish_step(
         dist_piece = jnp.any(
             hit & ~is_static & (jnp.abs(vn0) > cfg.wake_speed), axis=1
         )
+        # Island wake (PhysX wakes whole contact islands; VERDICT r3 item 8):
+        # a wake source is a fast contact approach OR a contact partner
+        # moving faster than wake_speed (a lateral strike has ~zero normal
+        # approach toward the bodies stacked above it — the vn0 rule alone
+        # never sees it). Spread sources over the CONTACT graph
+        # ``wake_hops`` hops per step. Sleep ONSET stays per-body: atomic
+        # island sleep was prototyped and thrashes under this Jacobi solver
+        # (the per-body freeze cascade is what damps the resting limit
+        # cycle — see the note below); the wake_speed threshold keeps
+        # settling jitter (≲ 0.1 m/s) from propagating.
+        if pidx is not None and cfg.wake_hops > 0:
+            K = pidx.shape[1]
+            M = max(1, cfg.manifold_points)
+            pair_hit = jnp.any(
+                hit[:, : K * M].reshape(-1, K, M), axis=2
+            )                                              # (Np, K)
+            pb = jnp.clip(pidx, 0, pidx.shape[0] - 1)
+            speed2b = jnp.sum(v1 * v1, -1) + jnp.sum(w1 * w1, -1)
+            fast_b = (speed2b > cfg.wake_speed**2) & bodies.active
+            fast_piece = fast_b if single else fast_b[
+                jnp.clip(myb, 0, scene.B - 1)
+            ]
+            src = dist_piece | fast_piece
+            for _ in range(cfg.wake_hops):
+                src = src | jnp.any(pair_hit & src[pb], axis=1)
+            dist_piece = src
         if single:
             disturbed = dist_piece
         else:

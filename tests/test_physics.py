@@ -485,3 +485,64 @@ def test_fused_fast_path_matches_xla_reference():
     np.testing.assert_allclose(
         np.asarray(a.bodies.v), np.asarray(b.bodies.v), atol=2e-3
     )
+
+
+def test_island_wake_propagates_up_a_stack():
+    """Island wake (VERDICT r3 item 8, PhysX wakes whole contact islands):
+    a fast body striking the BOTTOM of a sleeping 3-stack must wake the
+    whole stack within a few steps (wake_hops per step over the contact
+    graph), not only the struck body. A LATERAL strike has ~zero normal
+    approach toward the bodies above — only island propagation reaches
+    them. sleep_velocity is raised above the 3-stack's Jacobi resting
+    jitter (~0.09) so the stack actually sleeps first."""
+    import dataclasses
+
+    cfg = dataclasses.replace(PCFG, sleep_velocity=0.12)
+    s = build_scene(
+        make_pieces(
+            [[0, -1.49, 0], [0, -0.47, 0], [0, 0.55, 0]], [0, 1, 2]
+        ),
+        cfg,
+    )
+    step = jax.jit(lambda s: physics_step(s, cfg))
+    for _ in range(240):
+        s = step(s)
+    assert bool(jnp.all(s.sleep_frames >= cfg.sleep_frames)), np.asarray(
+        s.sleep_frames
+    )
+    # Strike the bottom body laterally, fast (above wake_speed).
+    s = type(s)(
+        **{
+            **{f: getattr(s, f) for f in s.__dataclass_fields__},
+            "bodies": type(s.bodies)(
+                **{
+                    **{
+                        f: getattr(s.bodies, f)
+                        for f in s.bodies.__dataclass_fields__
+                    },
+                    "v": s.bodies.v.at[0, 0].set(1.5),
+                },
+            ),
+            "sleep_frames": s.sleep_frames.at[0].set(0),
+        }
+    )
+    for _ in range(8):
+        s = step(s)
+    # Bodies 1 and 2 never see a fast approach directly at first — the
+    # island propagation must reset their counters.
+    frames = np.asarray(s.sleep_frames)
+    assert frames[1] < cfg.sleep_frames, frames
+    assert frames[2] < cfg.sleep_frames, frames
+
+
+def test_all_asleep_step_is_identity():
+    """skip_all_asleep: stepping a fully sleeping scene leaves every body
+    field bitwise unchanged (the lax.cond identity branch)."""
+    s = build_scene(make_pieces([[0, -1.49, 0], [3, -1.49, 0]], [0, 1]), PCFG)
+    s = run(s, 200)
+    assert bool(jnp.all(s.sleep_frames >= PCFG.sleep_frames))
+    s2 = run(s, 5)
+    for f in ("x", "q", "v", "w"):
+        assert np.array_equal(
+            np.asarray(getattr(s.bodies, f)), np.asarray(getattr(s2.bodies, f))
+        ), f

@@ -41,9 +41,12 @@ solid_t = jnp.broadcast_to(jnp.asarray(v[f])[None], (N, len(f), 3, 3))
 solid_m = jnp.ones((N, len(f)), bool)
 mas = jnp.float32(3.0)
 
-@jax.jit
-def phase1(conv, mt, mm, pl, pm):
-    cc = jax.vmap(lambda cv, a, b, c, d: _cap_candidates_one(cv, a, b, c, d, mas, cfg))(conv, mt, mm, pl, pm)
+import functools
+@functools.partial(jax.jit, static_argnames=("stage",))
+def phase1(conv, mt, mm, pl, pm, stage=99):
+    cc = jax.vmap(lambda cv, a, b, c, d: _cap_candidates_one(cv, a, b, c, d, mas, cfg, profile_stage=stage))(conv, mt, mm, pl, pm)
+    if stage < 99:
+        return cc["_p"]
     return cc["a_ok"], cc["b_covered"]
 
 @jax.jit
@@ -58,6 +61,8 @@ from surtr_tpu.ops.caps import cap_fans_batch
 def full(conv, mt, mm, pl, pm, solid_t, solid_m):
     return cap_fans_batch(conv, mt, mm, pl, pm, solid_t, solid_m, mas, cfg)[4]
 
+for st in (1, 2, 3, 4):
+    print(f"phase1 stage<={st}:", timeit(functools.partial(phase1, stage=st), conv, mt, mm, pl, pm), "ms", flush=True)
 print("phase1 (geometry):", timeit(phase1, conv, mt, mm, pl, pm), "ms", flush=True)
 print("phase1+probes(winding):", timeit(phase12, conv, mt, mm, pl, pm, solid_t, solid_m), "ms", flush=True)
 print("full:", timeit(full, conv, mt, mm, pl, pm, solid_t, solid_m), "ms", flush=True)
