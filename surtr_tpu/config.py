@@ -126,6 +126,12 @@ class FractureConfig:
     cap_crossings: int = 6       # splits per convex-face edge at crossings
                                  # with the surface cross-section
     cap_tris: int = 128          # compacted cap fan triangles per candidate
+    cap_edge_pool: int = 256     # flat candidate-edge records compacted
+                                 # per candidate BEFORE the inside-solid
+                                 # probes (pre-probe count: real boundary
+                                 # edges + tangent-plane false edges that
+                                 # the probes then reject; overflow is
+                                 # counted into the drop metric)
     cap_pool: int = 128          # cap boundary vertices added to the refit
                                  # vertex pool per candidate
     cap_probe_nudge: float = 1e-4

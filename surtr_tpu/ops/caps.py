@@ -37,6 +37,15 @@ their convex hull and inside the refit convex.
 
 Degenerate fan pairs (interior diagonals of the clipped polygons lying on the
 plane) cancel in all signed quantities; they only cost triangle slots.
+
+Performance shape (round 4): candidate edge RECORDS [p, q, face, kind] are
+front-compacted into a flat per-candidate pool of ``cfg.cap_edge_pool`` slots
+BEFORE any inside-solid probing — the padded (CF, NA) + (CF, S, X+1) record
+grid holds ~4.4k slots of which ~100 are real at model scale, and the probe
+query (two points per record) was 9.5M parity-grid gathers ≈ 80 ms of the
+pumpkin event when issued at padded width. Probe geometry (midpoint + inward
+nudge ± off-plane excursion) is derivable from [p, q, face plane] alone, so
+it is computed only at the compacted slots.
 """
 
 from __future__ import annotations
@@ -66,18 +75,17 @@ def match_cut_faces(poly, cut_planes, cut_mask, scale, tol=1e-4):
 def _cap_candidates_one(
     conv, mtris, mmask, cut_planes, cut_mask, mas, cfg, profile_stage=99
 ):
-    """Phase 1 (single candidate): geometry of all potential cap fans.
+    """Phase 1 (single candidate): candidate cap-boundary edge records.
 
-    Returns a dict of padded per-cut-face tensors:
-      a_p/a_q   (CF, NA, 3)      dA fan edge endpoints (cap orientation p->q)
-      a_ok      (CF, NA)
-      b_pts     (CF, S, X+2, 3)  dB interval endpoints along each loop edge
-      b_probe   (CF, S, X+1, 3)  inside-solid probe points (interval mids,
-                                 nudged toward the face interior)
-      b_elen2   (CF, S, X+1)     squared 3-D interval lengths (degeneracy)
-      b_edge_ok (CF, S)
-      cf_ok     (CF,)
-      n_cf_over ()               cut faces beyond the CF capacity
+    Returns a dict:
+      rec    (RT, 8)  [p(3), q(3), face_id, kind] — kind 0 = dA (surface
+                      cross-section edge), 1 = dB (loop-edge sub-interval);
+                      RT = CF·NA + CF·S·(X+1)
+      flag   (RT,)    record is a live candidate (pre-probe filters only:
+                      capacity, degeneracy, dA-coverage)
+      pls    (CF, 4)  cut-face planes (probe geometry + fan origins)
+      cf_ok  (CF,)
+      n_over ()       capacity losses so far (cut faces + dA edges)
     """
     from surtr_tpu.ops.clip import plane_basis
 
@@ -87,6 +95,7 @@ def _cap_candidates_one(
     X = cfg.cap_crossings
     Tp = mtris.shape[0]
     tol_on = 1e-5 * jnp.maximum(mas, 1.0)
+    eps2 = (1e-6 * jnp.maximum(mas, 1.0)) ** 2
 
     # Front-compact the cut faces and gather their data with ONE one-hot
     # contraction — vmapped top_k lowers to batched variadic sorts and
@@ -148,7 +157,8 @@ def _cap_candidates_one(
     )                                                            # (CF, NA, 6)
     a_p = packed[..., 0:3]
     a_q = packed[..., 3:6]
-    a_ok = jnp.arange(NA)[None, :] < n_a[:, None]
+    a_ok = (jnp.arange(NA)[None, :] < n_a[:, None]) & cf_ok[:, None]
+    a_ok &= jnp.sum((a_p - a_q) ** 2, -1) > eps2
     if profile_stage <= 2:   # + dA compaction
         return {"_p": jnp.sum(packed) + jnp.sum(n_a)}
 
@@ -211,7 +221,6 @@ def _cap_candidates_one(
         )                                                        # (S, X+2)
         e3 = w_next - loop                                       # (S, 3)
         pts = loop[:, None, :] + bounds[..., None] * e3[:, None, :]
-        mids = 0.5 * (pts[:, :-1] + pts[:, 1:])                  # (S, X+1, 3)
         # dA-coverage: where the solid's surface meets plane t ON this loop
         # edge, the dA segments already supply that boundary piece (with
         # closed-mesh orientation) — a dB interval whose midpoint lies on a
@@ -235,128 +244,54 @@ def _cap_candidates_one(
         )                                                        # (S, X+1)
         if profile_stage <= 4:  # + dA coverage
             return {"_p": jnp.sum(covered) + jnp.sum(pts)}
-        # Two-sided probe pair: in-plane inward nudge (n x edge for a CCW
-        # loop) PLUS an off-plane excursion along ±n. A true cap-boundary
-        # edge has material on BOTH sides of the cut plane next to it; a
-        # tangent plane (cut plane grazing the solid's surface — e.g. the
-        # Voronoi domain walls at the model's bounding box) has material on
-        # at most one side, and a single on-surface probe is an inside-test
-        # coin flip.
-        left = jnp.cross(jnp.broadcast_to(n, e3.shape), e3)
-        ln = jnp.linalg.norm(left, axis=-1, keepdims=True)
-        left = left / jnp.where(ln > 1e-30, ln, 1.0)
-        d_ = cfg.cap_probe_nudge * mas
-        base = mids + left[:, None, :] * d_
-        # Off-plane excursion δ/4 < the in-plane inward nudge: when the cut
-        # plane is PERPENDICULAR to the surface face holding the edge, the
-        # left and ±n components cancel along the face normal (|left·n_S| =
-        # sinθ vs |n_t·n_S| = cosθ) and an equal-δ probe lands exactly ON
-        # the surface — an inside-test coin flip. δ/4 keeps both probes
-        # strictly inside for cut angles θ > ~14°, while the tangent case
-        # (θ = 0, left inside the surface) still straddles and rejects.
-        probe = jnp.stack(
-            [base + n * (0.25 * d_), base - n * (0.25 * d_)], axis=2
-        )                                                    # (S, X+1, 2, 3)
         seg2 = (bounds[:, 1:] - bounds[:, :-1]) ** 2 * jnp.sum(e3 * e3, -1)[
             :, None
         ]
-        return pts, probe, seg2, edge_ok, covered
+        return pts, seg2, edge_ok, covered
 
     if profile_stage <= 4:
         out = jax.vmap(per_face)(loops, nv, pls, a_p, a_q, a_ok, cf_ok)
         return {"_p": out["_p"]}
-    b_pts, b_probe, b_elen2, b_edge_ok, b_covered = jax.vmap(per_face)(
+    b_pts, b_elen2, b_edge_ok, b_covered = jax.vmap(per_face)(
         loops, nv, pls, a_p, a_q, a_ok, cf_ok
     )
 
-    # dA validation probes (same two-sided rule): an on-plane soup edge is a
-    # TRUE cut edge only if material sits on both sides of the plane next to
-    # it — original model edges that merely lie in a tangent plane (and the
-    # border ring of a surface face coplanar with a domain wall) must not
-    # spawn caps.
-    nrm = pls[:, None, :3]                                       # (CF, 1, 3)
-    ae = a_q - a_p
-    left_a = jnp.cross(jnp.broadcast_to(nrm, ae.shape), ae)
-    ln_a = jnp.linalg.norm(left_a, axis=-1, keepdims=True)
-    left_a = left_a / jnp.where(ln_a > 1e-30, ln_a, 1.0)
-    d_ = cfg.cap_probe_nudge * mas
-    a_base = 0.5 * (a_p + a_q) + left_a * d_
-    # Same δ/4 off-plane excursion as the dB probes (see per_face).
-    a_probe = jnp.stack(
-        [a_base + nrm * (0.25 * d_), a_base - nrm * (0.25 * d_)], axis=2
-    )                                                            # (CF,NA,2,3)
-    return {
-        "a_p": a_p, "a_q": a_q, "a_ok": a_ok & cf_ok[:, None],
-        "a_probe": a_probe,
-        "b_pts": b_pts, "b_probe": b_probe, "b_elen2": b_elen2,
-        "b_edge_ok": b_edge_ok, "b_covered": b_covered,
-        "cf_ok": cf_ok, "n_cf_over": n_cf_over + n_a_over,
-    }
-
-
-def _assemble_one(cc, a_inside, b_inside, mas, cfg):
-    """Phase 3 (single candidate): fan triangles + refit-pool vertices."""
-    CF = cfg.cap_faces
-    NA = cfg.cap_edges
-    X = cfg.cap_crossings
-    CT = cfg.cap_tris
-    CP = cfg.cap_pool
-    S = cc["b_pts"].shape[1]
-    eps2 = (1e-6 * jnp.maximum(mas, 1.0)) ** 2
-
-    a_ok = (
-        cc["a_ok"]
-        & a_inside
-        & (jnp.sum((cc["a_p"] - cc["a_q"]) ** 2, -1) > eps2)
-    )                                                            # (CF, NA)
+    # --- flat records ------------------------------------------------------
+    # [p(3), q(3), face_id, kind]; probe geometry is recomputed from (p, q,
+    # face plane) AFTER the batch-level compaction, so padded slots never
+    # reach the inside-solid query.
+    fidx = jnp.arange(CF, dtype=loops.dtype)
+    a_rec = jnp.concatenate(
+        [
+            a_p, a_q,
+            jnp.broadcast_to(fidx[:, None, None], (CF, NA, 1)),
+            jnp.zeros((CF, NA, 1), loops.dtype),
+        ],
+        axis=-1,
+    ).reshape(CF * NA, 8)
+    e0 = b_pts[:, :, :-1]                                        # (CF,S,X+1,3)
+    e1 = b_pts[:, :, 1:]
+    b_rec = jnp.concatenate(
+        [
+            e0, e1,
+            jnp.broadcast_to(fidx[:, None, None, None], (CF, S, X + 1, 1)),
+            jnp.ones((CF, S, X + 1, 1), loops.dtype),
+        ],
+        axis=-1,
+    ).reshape(CF * S * (X + 1), 8)
     keep_b = (
-        b_inside
-        & ~cc["b_covered"]
-        & cc["b_edge_ok"][..., None]
-        & (cc["b_elen2"] > eps2)
-    )                                                            # (CF, S, X+1)
+        ~b_covered
+        & b_edge_ok[..., None]
+        & (b_elen2 > eps2)
+    ).reshape(CF * S * (X + 1))
 
-    # Fan origin per face: mean of the cap's own boundary points (inside
-    # their convex hull, hence inside the refit convex).
-    s_a = jnp.sum(
-        jnp.where(a_ok[..., None], cc["a_p"] + cc["a_q"], 0.0), axis=1
-    )                                                            # (CF, 3)
-    e0 = cc["b_pts"][:, :, :-1]                                  # (CF,S,X+1,3)
-    e1 = cc["b_pts"][:, :, 1:]
-    s_b = jnp.sum(jnp.where(keep_b[..., None], e0 + e1, 0.0), axis=(1, 2))
-    cnt = 2 * (jnp.sum(a_ok, axis=1) + jnp.sum(keep_b, axis=(1, 2)))
-    origin = (s_a + s_b) / jnp.maximum(cnt, 1)[:, None]          # (CF, 3)
-
-    def tri(o, p, q):
-        return jnp.stack([jnp.broadcast_to(o, p.shape), p, q], axis=-2)
-
-    a_tris = tri(origin[:, None], cc["a_p"], cc["a_q"])          # (CF,NA,3,3)
-    b_tris = tri(origin[:, None, None], e0, e1)                  # (CF,S,X+1,3,3)
-    # Front-compactions by one-hot contraction (vmapped top_k = batched
-    # variadic sort; see linalg.compact).
-    from surtr_tpu.ops.linalg import compact
-
-    rows = jnp.concatenate(
-        [a_tris.reshape(-1, 9), b_tris.reshape(-1, 9)]
-    )
-    oks = jnp.concatenate([a_ok.reshape(-1), keep_b.reshape(-1)])
-    cap_rows, n_cap = compact(rows, oks, CT)
-    cap_rows = cap_rows.reshape(CT, 3, 3)
-    cap_ok = jnp.arange(CT) < n_cap
-    over = jnp.maximum(jnp.sum(oks) - CT, 0)
-
-    # Refit-pool vertices: dB interval endpoints (dA endpoints are surface
-    # vertices already in the pool; fan origins are NOT boundary points).
-    pv = jnp.concatenate(
-        [e0.reshape(-1, 3), e1.reshape(-1, 3)]
-    )
-    pm = jnp.concatenate([keep_b.reshape(-1), keep_b.reshape(-1)])
-    pool_v, n_pool = compact(pv, pm, CP)
-    pool_m = jnp.arange(CP) < n_pool
-    # Pool overflow means some cap vertices are NOT fed to the refit — the
-    # refit slabs may then cut the cap (mesh poking out of its convex).
-    pool_over = jnp.maximum(jnp.sum(pm) - CP, 0)
-    return cap_rows, cap_ok, pool_v, pool_m, over + pool_over + cc["n_cf_over"]
+    return {
+        "rec": jnp.concatenate([a_rec, b_rec]),
+        "flag": jnp.concatenate([a_ok.reshape(CF * NA), keep_b]),
+        "pls": pls,
+        "cf_ok": cf_ok,
+        "n_over": n_cf_over + n_a_over,
+    }
 
 
 def cap_fans_batch(
@@ -374,12 +309,21 @@ def cap_fans_batch(
     solid_t/solid_m the per-candidate source solids. ``solid_grid`` (from
     ``build_parity_grid`` over ONE shared source solid) replaces per-probe
     winding when available (prepare); do_fracture probes per-candidate
-    winding numbers against the parent's capped mesh.
+    ray parity against the parent's capped mesh.
 
     Returns (cap_rows (N, CT, 3, 3), cap_ok (N, CT), pool_v (N, CP, 3),
     pool_m (N, CP), dropped ()).
     """
+    from surtr_tpu.ops.linalg import compact
     from surtr_tpu.ops.mesh_clip import parity_grid_inside, point_in_mesh
+
+    CF = cfg.cap_faces
+    CT = cfg.cap_tris
+    CP = cfg.cap_pool
+    # The pre-probe record pool can never usefully be smaller than the
+    # requested final cap count — workload-fit configs that raise cap_tris
+    # (big-piece decompositions) get the record pool raised with it.
+    E = max(cfg.cap_edge_pool, cfg.cap_tris)
 
     cc = jax.vmap(
         lambda cv, mt, mm, cp, cm: _cap_candidates_one(
@@ -387,31 +331,101 @@ def cap_fans_batch(
         )
     )(conv, mtris, mmask, cut_planes, cut_mask)
 
-    N = cc["b_probe"].shape[0]
-    na = cc["a_probe"].reshape(N, -1, 3).shape[1]
-    probes = jnp.concatenate(
-        [cc["a_probe"].reshape(N, -1, 3), cc["b_probe"].reshape(N, -1, 3)],
-        axis=1,
+    rec, flag, pls = cc["rec"], cc["flag"], cc["pls"]
+    N, RT, _ = rec.shape
+
+    # Compact candidate record INDICES (i32 one-hot, cheap), then fetch the
+    # selected records with ONE flat row gather — the only gather here, at
+    # N·E rows instead of per-element.
+    idx, n_e = compact(
+        jnp.broadcast_to(jnp.arange(RT, dtype=jnp.int32)[None], (N, RT))[
+            ..., None
+        ],
+        flag,
+        E,
     )
+    idx = idx[..., 0]                                            # (N, E)
+    slot_ok = jnp.arange(E)[None, :] < n_e[:, None]
+    flat = jnp.arange(N, dtype=jnp.int32)[:, None] * RT + idx
+    rec_e = rec.reshape(N * RT, 8)[flat]                         # (N, E, 8)
+    pack_over = jnp.sum(flag, axis=1) - n_e                      # (N,)
+
+    p = rec_e[..., 0:3]
+    q = rec_e[..., 3:6]
+    fid = rec_e[..., 6].astype(jnp.int32)                        # (N, E)
+    is_b = rec_e[..., 7] > 0.5
+
+    # Face plane per record (one-hot contraction over CF — tiny).
+    ohf = (fid[..., None] == jnp.arange(CF)[None, None]).astype(p.dtype)
+    nrm = jnp.sum(ohf[..., None] * pls[:, None, :, 0:3], axis=2)  # (N, E, 3)
+
+    # Two-sided probe pair: in-plane inward nudge (n x edge for a CCW loop /
+    # the cap's p->q orientation) PLUS an off-plane excursion along ±n. A
+    # true cap-boundary edge has material on BOTH sides of the cut plane
+    # next to it; a tangent plane (cut plane grazing the solid's surface —
+    # e.g. the Voronoi domain walls at the model's bounding box) has
+    # material on at most one side, and a single on-surface probe is an
+    # inside-test coin flip. Off-plane excursion δ/4 < the in-plane nudge:
+    # when the cut plane is PERPENDICULAR to the surface face holding the
+    # edge, the left and ±n components cancel along the face normal
+    # (|left·n_S| = sinθ vs |n_t·n_S| = cosθ) and an equal-δ probe lands
+    # exactly ON the surface — an inside-test coin flip. δ/4 keeps both
+    # probes strictly inside for cut angles θ > ~14°, while the tangent
+    # case (θ = 0, left inside the surface) still straddles and rejects.
+    e = q - p
+    left = jnp.cross(nrm, e)
+    ln = jnp.linalg.norm(left, axis=-1, keepdims=True)
+    left = left / jnp.where(ln > 1e-30, ln, 1.0)
+    d_ = cfg.cap_probe_nudge * mas
+    base = 0.5 * (p + q) + left * d_
+    probes = jnp.stack(
+        [base + nrm * (0.25 * d_), base - nrm * (0.25 * d_)], axis=2
+    )                                                            # (N, E, 2, 3)
+
     if solid_grid is not None:
-        flat = probes.reshape(-1, 3)
-        inside = parity_grid_inside(solid_grid, flat).reshape(probes.shape[:2])
+        inside = parity_grid_inside(
+            solid_grid, probes.reshape(-1, 3)
+        ).reshape(N, E, 2)
     else:
         # Ray parity, not winding numbers: exact-caps solids are exactly
         # closed (that is the point of this module), parity is robust to
         # the signed canceling fan pairs (two crossings), and the winding
         # form's per-(probe, tri) atan2 was the caps path's largest real
         # cost (~13 ms of ~20 at 1k cube candidates).
-        inside = jax.vmap(point_in_mesh)(probes, solid_t, solid_m)
+        inside = jax.vmap(point_in_mesh)(
+            probes.reshape(N, 2 * E, 3), solid_t, solid_m
+        ).reshape(N, E, 2)
     # A boundary edge is real only if BOTH off-plane probes are in material.
-    a_inside = jnp.all(
-        inside[:, :na].reshape(cc["a_probe"].shape[:4]), axis=-1
-    )
-    b_inside = jnp.all(
-        inside[:, na:].reshape(cc["b_probe"].shape[:5]), axis=-1
-    )
+    keep = slot_ok & inside[..., 0] & inside[..., 1]             # (N, E)
 
-    cap_rows, cap_ok, pool_v, pool_m, over = jax.vmap(
-        lambda c, ai, bi: _assemble_one(c, ai, bi, mas, cfg)
-    )(cc, a_inside, b_inside)
-    return cap_rows, cap_ok, pool_v, pool_m, jnp.sum(over)
+    # Fan origin per face: mean of the cap's own boundary points (inside
+    # their convex hull, hence inside the refit convex).
+    ohk = ohf * keep[..., None].astype(p.dtype)                  # (N, E, CF)
+    s_f = jnp.sum(ohk[..., None] * (p + q)[:, :, None, :], axis=1)
+    cnt = 2.0 * jnp.sum(ohk, axis=1)                             # (N, CF)
+    origin = s_f / jnp.maximum(cnt, 1.0)[..., None]              # (N, CF, 3)
+    orig_e = jnp.sum(ohf[..., None] * origin[:, None], axis=2)   # (N, E, 3)
+
+    tris = jnp.stack([orig_e, p, q], axis=-2)                    # (N, E, 3, 3)
+    cap_rows, n_cap = compact(tris.reshape(N, E, 9), keep, CT)
+    cap_rows = cap_rows.reshape(N, CT, 3, 3)
+    cap_ok = jnp.arange(CT)[None, :] < n_cap[:, None]
+    ct_over = jnp.sum(keep, axis=1) - n_cap
+
+    # Refit-pool vertices: dB interval endpoints (dA endpoints are surface
+    # vertices already in the pool; fan origins are NOT boundary points).
+    pv = jnp.concatenate([p, q], axis=1)                         # (N, 2E, 3)
+    pm = jnp.concatenate([keep & is_b, keep & is_b], axis=1)
+    pool_v, n_pool = compact(pv, pm, CP)
+    pool_m = jnp.arange(CP)[None, :] < n_pool[:, None]
+    # Pool overflow means some cap vertices are NOT fed to the refit — the
+    # refit slabs may then cut the cap (mesh poking out of its convex).
+    pool_over = jnp.sum(pm, axis=1) - n_pool
+
+    dropped = (
+        jnp.sum(cc["n_over"])
+        + jnp.sum(pack_over)
+        + jnp.sum(ct_over)
+        + jnp.sum(pool_over)
+    )
+    return cap_rows, cap_ok, pool_v, pool_m, dropped

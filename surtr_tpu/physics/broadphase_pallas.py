@@ -204,26 +204,28 @@ def broadphase_sorted_pallas(
 # ---------------------------------------------------------------------------
 
 
-_IMAX = 0x7FFFFFFF  # plain int: a jnp scalar would be a captured const in the kernel
+_IMAX = 0x7FFFFFFF  # plain int: a jnp scalar would be a captured const
 
 
 def _bp_exact_kernel(
-    packT_ref, packR_ref, cab_ref, pidx_ref, pok_ref, *, K, Np, CH, NCH
+    rng_ref, packT_ref, packR_ref, cab_ref, pidx_ref, pok_ref, *, K, CH
 ):
-    """One 128-piece block (lanes) vs every chunk of CH pieces (sublanes).
+    """One 128-piece block (lanes) vs its sweep range of CH-piece chunks.
 
-    FULL-recall O(N²) pair sweep: every candidate gets the exact AABB test;
-    the K nearest survive per piece. Selection uses UNIQUE i32 keys
-    (quantized d² << 14 | sorted rank), so top-K extraction is K cheap
-    min-reductions with equality mask-out — no sorts, no cumsums, no
-    gathers. Chunks whose AABB union is disjoint from the block's are
-    skipped with predicated execution (the input is Morton-sorted for
-    locality, but correctness NEVER depends on it — pruning tests true
-    bounding-box disjointness, so recall stays exact on any ordering).
+    FULL-recall sweep-and-prune: pieces are sorted along the longest world
+    axis, so every candidate that can overlap a block lies inside the
+    contiguous chunk range [rng[0], rng[1]) precomputed host-side from
+    monotone interval envelopes (see broadphase_exact_pallas). Every
+    candidate in range gets the exact 3-D AABB test; the K nearest survive
+    per piece. Selection uses UNIQUE i32 keys (quantized d² << 14 | sorted
+    rank), so top-K extraction is K cheap sublane min-reductions with
+    equality mask-out — no sorts, no cumsums, no gathers. A scalar 3-D
+    chunk-AABB guard skips in-range chunks that only overlap along the
+    sweep axis.
 
     packT: (16, 128) block fields on lanes; packR: (Np_pad, 16) all pieces
-    rows-major; cab: (NCH, 8) per-chunk AABB unions [lo3, hi3, pad].
-    Output (K, 128): i32 keys of the selected partners (IMAX = none).
+    rows-major; cab: (NCH, 8) per-chunk AABB unions in SMEM; rng: (1, 2)
+    i32 chunk range in SMEM. Output (K, 128): i32 keys (IMAX = none).
     """
     blk = packT_ref[:]                                   # (16, 128)
     bc = blk[0:3]
@@ -234,66 +236,57 @@ def _bp_exact_kernel(
     b = pl.program_id(0)
     base_r = b * 128 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
-    # Block AABB union (over valid lanes) for chunk pruning — kept as six
-    # scalars (full reductions) so the pl.when predicates are scalar ops.
+    # Block AABB union (over valid lanes) for the scalar chunk guard.
     big = jnp.asarray(BIG, jnp.float32)
     blo_u = [jnp.min(jnp.where(bval, blo[a : a + 1], big)) for a in range(3)]
     bhi_u = [jnp.max(jnp.where(bval, bhi[a : a + 1], -big)) for a in range(3)]
 
     QS = jnp.float32(131071.0 / 3.0)
-
-    def chunk_keys(ch):
-        rows = packR_ref[pl.ds(ch * CH, CH), :]          # (CH, 16)
-        rc = rows[:, 0:3]
-        rlo = rows[:, 3:6]
-        rhi = rows[:, 6:9]
-        rown = rows[:, 9:10]
-        rval = rows[:, 10:11] > 0.5
-        grow = ch * CH + jax.lax.broadcasted_iota(
-            jnp.int32, (CH, 1), 0
-        )
-        over = jnp.ones((CH, 128), bool)
-        d2 = jnp.zeros((CH, 128), jnp.float32)
-        for a in range(3):
-            over &= (rlo[:, a : a + 1] <= bhi[a : a + 1, :]) & (
-                blo[a : a + 1, :] <= rhi[:, a : a + 1]
-            )
-            da = rc[:, a : a + 1] - bc[a : a + 1, :]
-            d2 += da * da
-        ok = (
-            over
-            & rval & bval
-            & (rown != bown)
-            & (grow != base_r)
-        )
-        q = jnp.minimum(d2 * QS, 131071.0).astype(jnp.int32)
-        key = (q << 14) | (grow & 16383)
-        return jnp.where(ok, key, jnp.int32(_IMAX))
-
-    def extract_k(keys, K):
-        """K smallest of a (R, 128) unique-key stack, via min + mask-out."""
-        outs = []
-        for _ in range(K):
-            m = jnp.min(keys, axis=0, keepdims=True)     # (1, 128)
-            outs.append(m)
-            keys = jnp.where(keys == m, jnp.int32(_IMAX), keys)
-        return outs
-
     pidx_ref[:] = jnp.full((K, 128), _IMAX, jnp.int32)
-    for ch in range(NCH):
-        hit = jnp.bool_(True)
+
+    def body(ch, _):
+        guard = jnp.bool_(True)
         for a in range(3):
-            hit &= (cab_ref[ch, a] <= bhi_u[a]) & (
+            guard &= (cab_ref[ch, a] <= bhi_u[a]) & (
                 blo_u[a] <= cab_ref[ch, 3 + a]
             )
 
-        # Predicated: skipped chunks cost one scalar test. The running
-        # best-K lives in pidx_ref so skipped chunks leave it untouched.
-        @pl.when(hit)
+        @pl.when(guard)
         def _():
-            keys = chunk_keys(ch)
+            rows = packR_ref[pl.ds(ch * CH, CH), :]      # (CH, 16)
+            rc = rows[:, 0:3]
+            rlo = rows[:, 3:6]
+            rhi = rows[:, 6:9]
+            rown = rows[:, 9:10]
+            rval = rows[:, 10:11] > 0.5
+            grow = ch * CH + jax.lax.broadcasted_iota(
+                jnp.int32, (CH, 1), 0
+            )
+            over = jnp.ones((CH, 128), bool)
+            d2 = jnp.zeros((CH, 128), jnp.float32)
+            for a in range(3):
+                over &= (rlo[:, a : a + 1] <= bhi[a : a + 1, :]) & (
+                    blo[a : a + 1, :] <= rhi[:, a : a + 1]
+                )
+                da = rc[:, a : a + 1] - bc[a : a + 1, :]
+                d2 += da * da
+            ok = over & rval & bval & (rown != bown) & (grow != base_r)
+            q = jnp.minimum(d2 * QS, 131071.0).astype(jnp.int32)
+            keys = jnp.where(ok, (q << 14) | (grow & 16383), jnp.int32(_IMAX))
+
+            # Merge into the running best-K: K min-passes over the
+            # (K + CH, 128) stack with equality mask-out (keys unique).
             stack = jnp.concatenate([pidx_ref[:], keys], axis=0)
-            pidx_ref[:] = jnp.concatenate(extract_k(stack, K), axis=0)
+            outs = []
+            for _ in range(K):
+                m = jnp.min(stack, axis=0, keepdims=True)     # (1, 128)
+                outs.append(m)
+                stack = jnp.where(stack == m, jnp.int32(_IMAX), stack)
+            pidx_ref[:] = jnp.concatenate(outs, axis=0)
+
+        return 0
+
+    jax.lax.fori_loop(rng_ref[0, 0], rng_ref[0, 1], body, 0)
 
     best = pidx_ref[:]
     pidx_ref[:] = best & 16383
@@ -302,28 +295,43 @@ def _bp_exact_kernel(
 
 def broadphase_exact_pallas(
     centers, lo, hi, owner, valid, K: int, interpret: bool = False,
-    chunk: int = 512,
+    chunk: int = 128,
 ):
-    """Exact (full-recall) broadphase: fused O(N²) AABB sweep in VMEM.
+    """Exact (full-recall) broadphase: fused sweep-and-prune in VMEM.
 
     The PhysX contract is "no missed pairs" (the black box behind
     /root/reference/Src/Surtr.cpp:330-331); the Morton-window sweep misses
     20-30% of the exact top-8 on dense piles (ROADMAP rej. 6) and the XLA
-    grid path costs ~20 ms in gathers. At 10k pieces the full pair sweep is
-    only ~100 M AABB tests — VPU-cheap once it never leaves VMEM; a Morton
-    pre-sort gives the block×chunk pruning its locality. Np ≤ 16384 (rank
+    grid path costs ~20 ms in gathers. This kernel sorts pieces along the
+    longest world axis and, per 128-piece block, sweeps exactly the chunks
+    whose sweep-axis intervals can reach the block — a contiguous range by
+    construction from monotone envelopes (prefix-max of chunk interval
+    highs, suffix-min of lows), computed host-side with two searchsorteds.
+    Every in-range candidate still gets the exact 3-D AABB test, so recall
+    is exact for ANY ordering; the sort only bounds the work (dense piles:
+    ~10 of ~80 chunks per block vs the O(N²) full sweep). Np ≤ 16384 (rank
     packs into 14 key bits); larger pools use the sorted/grid paths.
 
     Returns (pidx (Np, K), pok (Np, K)) in ORIGINAL order, NOT mutual-masked
     (callers apply the pidx[pidx] mutual check like the other XLA paths).
     """
-    from surtr_tpu.physics.step import _morton
-
     Np = centers.shape[0]
     assert Np <= 16384, "rank field packs into 14 bits"
     f = centers.dtype
-    code = _morton(centers, valid)
-    order = jnp.argsort(code)
+    big = jnp.asarray(BIG, f)
+
+    # Sweep axis = the longest VALID world extent (one-hot pick keeps the
+    # axis choice traceable).
+    wlo = jnp.min(jnp.where(valid[:, None], centers, big), axis=0)
+    whi = jnp.max(jnp.where(valid[:, None], centers, -big), axis=0)
+    axis_oh = jnp.where(
+        jnp.any(valid),
+        (jnp.arange(3) == jnp.argmax(whi - wlo)).astype(f),
+        jnp.array([1.0, 0.0, 0.0], f),
+    )
+    cx = centers @ axis_oh
+    # Invalid rows sort to the top so they pad the tail chunks.
+    order = jnp.argsort(jnp.where(valid, cx, big))
     inv = jnp.argsort(order)
 
     pack = jnp.concatenate(
@@ -335,39 +343,75 @@ def broadphase_exact_pallas(
         axis=1,
     )[order]                                             # (Np, 16)
     # Normalized centers: d² quantization needs a bounded range.
-    big = jnp.asarray(BIG, f)
-    wlo = jnp.min(jnp.where(valid[:, None], centers, big), axis=0)
-    whi = jnp.max(jnp.where(valid[:, None], centers, -big), axis=0)
     ext = jnp.maximum(jnp.max(whi - wlo), 1e-6)
     pack = pack.at[:, 0:3].set((pack[:, 0:3] - wlo) / ext)
 
-    Np_pad = max(((Np + 127) // 128) * 128, 128)
-    CH = min(chunk, Np_pad)
-    NCH = (Np_pad + CH - 1) // CH
-    Np_pad = NCH * CH
+    CH = chunk
+    Np_pad = max(-(-Np // CH) * CH, CH)
+    NB = -(-Np_pad // 128)
+    Np_pad = max(Np_pad, NB * 128)
+    NCH = Np_pad // CH
     packR = jnp.pad(pack, ((0, Np_pad - Np), (0, 0)))
     packT = packR.T                                      # (16, Np_pad)
 
-    # Per-chunk AABB unions for the in-kernel pruning.
-    v_pad = jnp.pad(valid[order], (0, Np_pad - Np))[:, None]
-    rlo = jnp.where(v_pad, packR[:, 3:6], big).reshape(NCH, CH, 3)
-    rhi = jnp.where(v_pad, packR[:, 6:9], -big).reshape(NCH, CH, 3)
+    v_s = jnp.pad(valid[order], (0, Np_pad - Np))[:, None]
+    # Per-chunk AABB unions (invalid rows excluded) for the scalar guard.
+    rlo = jnp.where(v_s, packR[:, 3:6], big).reshape(NCH, CH, 3)
+    rhi = jnp.where(v_s, packR[:, 6:9], -big).reshape(NCH, CH, 3)
     cab = jnp.concatenate(
         [jnp.min(rlo, axis=1), jnp.max(rhi, axis=1),
          jnp.zeros((NCH, 2), f)],
         axis=1,
     )                                                    # (NCH, 8)
 
-    kernel = functools.partial(
-        _bp_exact_kernel, K=K, Np=Np, CH=CH, NCH=NCH
+    # Sweep-axis interval envelopes. m_hi prefix-max / m_lo suffix-min are
+    # monotone, so the set of chunks whose interval [m_lo, m_hi] can touch
+    # a query interval [qlo, qhi] is contained in the contiguous range
+    # [first chunk with prefmax_hi >= qlo, last chunk with sufmin_lo <= qhi]
+    # — every true overlap is inside it (proof: the first qualifying chunk
+    # IS the searchsorted witness; monotonicity bounds both ends).
+    v_ch = v_s[:, 0].reshape(NCH, CH)
+    c_hix = jnp.max(
+        jnp.where(
+            v_ch,
+            (packR[:, 6:9] * axis_oh[None]).sum(-1).reshape(NCH, CH),
+            -big,
+        ),
+        axis=1,
     )
+    c_lox = jnp.min(
+        jnp.where(
+            v_ch,
+            (packR[:, 3:6] * axis_oh[None]).sum(-1).reshape(NCH, CH),
+            big,
+        ),
+        axis=1,
+    )
+    prefmax_hi = jax.lax.cummax(c_hix)
+    sufmin_lo = -jax.lax.cummax(-c_lox[::-1])[::-1]
+
+    # Per-block query intervals over valid lanes.
+    b_lox = (packR[:, 3:6] * axis_oh[None]).sum(-1).reshape(NB, 128)
+    b_hix = (packR[:, 6:9] * axis_oh[None]).sum(-1).reshape(NB, 128)
+    bv = v_s[:, 0].reshape(NB, 128)
+    qlo = jnp.min(jnp.where(bv, b_lox, big), axis=1)     # (NB,)
+    qhi = jnp.max(jnp.where(bv, b_hix, -big), axis=1)
+    lo_ch = jnp.searchsorted(prefmax_hi, qlo, side="left")
+    hi_ch = jnp.searchsorted(sufmin_lo, qhi, side="right")
+    rng = jnp.stack(
+        [jnp.minimum(lo_ch, NCH), jnp.minimum(hi_ch, NCH)], axis=1
+    ).astype(jnp.int32)                                  # (NB, 2)
+
+    kernel = functools.partial(_bp_exact_kernel, K=K, CH=CH)
     pidxT, pokT = pl.pallas_call(
         kernel,
-        grid=(Np_pad // 128,),
+        grid=(NB,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         in_specs=[
+            pl.BlockSpec((1, 2), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((16, 128), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Np_pad, 16), lambda i: (0, 0),
@@ -385,7 +429,7 @@ def broadphase_exact_pallas(
             jax.ShapeDtypeStruct((K, Np_pad), jnp.int32),
         ],
         interpret=interpret,
-    )(packT, packR, cab)
+    )(rng, packT, packR, cab)
 
     rank = pidxT.T[:Np]                                  # (Np, K) sorted rank
     pok_s = pokT.T[:Np] > 0

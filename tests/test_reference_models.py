@@ -45,6 +45,7 @@ def test_bunny_decomposition_volume_bounds():
         # Cap capacities sized for 8 big cells of a 5002-face model: each
         # cut face's cross-section carries O(100) boundary edges.
         cap_edges=96, cap_crossings=8, cap_tris=512, cap_pool=512,
+        cap_edge_pool=768,
     )
     pieces, ctx, met = prepare_fracture(
         jnp.asarray(v),

@@ -7,7 +7,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from surtr_tpu.config import FractureConfig
 from surtr_tpu.io.models import get_model
-from surtr_tpu.ops.caps import _cap_candidates_one, _assemble_one
+from surtr_tpu.ops.caps import _cap_candidates_one
 from surtr_tpu.ops.mesh_clip import winding_inside
 from surtr_tpu.types import unit_cube, scale_poly
 from surtr_tpu.ops.clip_pallas import clip_planes_batch
@@ -47,14 +47,7 @@ def phase1(conv, mt, mm, pl, pm, stage=99):
     cc = jax.vmap(lambda cv, a, b, c, d: _cap_candidates_one(cv, a, b, c, d, mas, cfg, profile_stage=stage))(conv, mt, mm, pl, pm)
     if stage < 99:
         return cc["_p"]
-    return cc["a_ok"], cc["b_covered"]
-
-@jax.jit
-def phase12(conv, mt, mm, pl, pm, solid_t, solid_m):
-    cc = jax.vmap(lambda cv, a, b, c, d: _cap_candidates_one(cv, a, b, c, d, mas, cfg))(conv, mt, mm, pl, pm)
-    probes = jnp.concatenate([cc["a_probe"].reshape(N, -1, 3), cc["b_probe"].reshape(N, -1, 3)], 1)
-    inside = jax.vmap(winding_inside)(probes, solid_t, solid_m)
-    return inside
+    return cc["rec"], cc["flag"]
 
 from surtr_tpu.ops.caps import cap_fans_batch
 @jax.jit
@@ -64,5 +57,4 @@ def full(conv, mt, mm, pl, pm, solid_t, solid_m):
 for st in (1, 2, 3, 4):
     print(f"phase1 stage<={st}:", timeit(functools.partial(phase1, stage=st), conv, mt, mm, pl, pm), "ms", flush=True)
 print("phase1 (geometry):", timeit(phase1, conv, mt, mm, pl, pm), "ms", flush=True)
-print("phase1+probes(winding):", timeit(phase12, conv, mt, mm, pl, pm, solid_t, solid_m), "ms", flush=True)
 print("full:", timeit(full, conv, mt, mm, pl, pm, solid_t, solid_m), "ms", flush=True)
