@@ -27,6 +27,13 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# The image's zstandard C backend segfaults intermittently inside the cache
+# entry (de)serializers under load (see tests/conftest.py); force JAX's zlib
+# fallback so a cache write can never kill the driver's bench run.
+from jax._src import compilation_cache as _cc
+
+_cc.zstandard = None
+
 import jax.numpy as jnp
 import numpy as np
 

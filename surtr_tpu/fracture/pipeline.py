@@ -774,7 +774,13 @@ def prepare_fracture(
             from surtr_tpu.ops.mesh_clip import clip_polys_by_rows, fan_triangles
 
             kept_cnt = jnp.sum(csel, axis=1).astype(jnp.int32)     # (C,)
-            PAIR_CAP = int(min(C * cull_cap, max(16 * Tsrc, 1 << 16)))
+            # Pool sized for the MEASURED occupancy, not the worst case: a
+            # triangle lands in ~2-3 cells (pumpkin 1k: ~25k live pairs),
+            # so 4·Tsrc is ~1.6× headroom — the old 16·Tsrc pool made the
+            # pack gathers dominate stage 43 (13 ms of the pumpkin event
+            # for 84% dead slots). Overflow stays observable (pair_over
+            # below) like every other capacity.
+            PAIR_CAP = int(min(C * cull_cap, max(4 * Tsrc, 1 << 15)))
             cell_ids = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32)[:, None], (C, cull_cap)
             )
@@ -965,12 +971,18 @@ def _finish_pieces(
 
     # Occupancy: surface triangles present, or convex centroid inside the
     # source solid (interior cells — the analogue of the reference's
-    # closed-polyhedron clip staying non-empty).
+    # closed-polyhedron clip staying non-empty). With a shared source
+    # solid the parity grid answers the centroid query for the cost of one
+    # tiny gather (the vmapped ray test is N·Tsrc ray-tri ops — ~90 M at
+    # pumpkin scale).
     has_tris = jnp.any(mmask, axis=-1)
     _, cent = moments(conv)
-    inside = jax.vmap(lambda c, t, m: point_in_mesh(c[None], t, m)[0])(
-        cent, solid_corners, solid_mask
-    )
+    if solid_grid is not None:
+        inside = parity_grid_inside(solid_grid, cent)
+    else:
+        inside = jax.vmap(lambda c, t, m: point_in_mesh(c[None], t, m)[0])(
+            cent, solid_corners, solid_mask
+        )
     cand_valid = ~conv.is_empty() & (has_tris | inside)
 
     from surtr_tpu.ops.clip_pallas import _target_is_tpu

@@ -75,9 +75,13 @@ void weld(Mesh& m) {
   }
   std::vector<int> out_tris;
   out_tris.reserve(m.tris.size());
+  const int n_in = static_cast<int>(remap.size());
   for (size_t t = 0; t < m.tris.size() / 3; ++t) {
-    int a = remap[m.tris[3 * t]], b = remap[m.tris[3 * t + 1]],
-        c = remap[m.tris[3 * t + 2]];
+    // Malformed faces (index 0 / out-of-range) must not index past remap.
+    int ia = m.tris[3 * t], ib = m.tris[3 * t + 1], ic = m.tris[3 * t + 2];
+    if (ia < 0 || ib < 0 || ic < 0 || ia >= n_in || ib >= n_in || ic >= n_in)
+      continue;
+    int a = remap[ia], b = remap[ib], c = remap[ic];
     if (a != b && b != c && a != c) {
       out_tris.push_back(a);
       out_tris.push_back(b);

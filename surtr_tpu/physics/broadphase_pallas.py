@@ -208,7 +208,8 @@ _IMAX = 0x7FFFFFFF  # plain int: a jnp scalar would be a captured const
 
 
 def _bp_exact_kernel(
-    rng_ref, packT_ref, packR_ref, cab_ref, pidx_ref, pok_ref, *, K, CH
+    rng_ref, packT_ref, packR_ref, cab_ref, pidx_ref, pok_ref, th_ref,
+    *, K, CH
 ):
     """One 128-piece block (lanes) vs its sweep range of CH-piece chunks.
 
@@ -217,15 +218,21 @@ def _bp_exact_kernel(
     contiguous chunk range [rng[0], rng[1]) precomputed host-side from
     monotone interval envelopes (see broadphase_exact_pallas). Every
     candidate in range gets the exact 3-D AABB test; the K nearest survive
-    per piece. Selection uses UNIQUE i32 keys (quantized d² << 14 | sorted
-    rank), so top-K extraction is K cheap sublane min-reductions with
-    equality mask-out — no sorts, no cumsums, no gathers. A scalar 3-D
-    chunk-AABB guard skips in-range chunks that only overlap along the
-    sweep axis.
+    per piece. Selection uses UNIQUE i32 keys (quantized d² << 14 | ORIGINAL
+    piece id), so top-K extraction is K cheap sublane min-reductions with
+    equality mask-out — no sorts, no cumsums, no gathers — and the selected
+    ids need no rank→orig decode afterwards. A scalar 3-D chunk-AABB guard
+    skips in-range chunks that only overlap along the sweep axis.
+
+    Outputs per block: the K selected KEYS (IMAX = empty; the caller strips
+    the id field) and θ = the K-th-smallest selected key (IMAX when any slot
+    is empty), which makes the mutual check a single (Np, K) gather:
+    j selected i  ⇔  key(d², i) ≤ θ_j.
 
     packT: (16, 128) block fields on lanes; packR: (Np_pad, 16) all pieces
-    rows-major; cab: (NCH, 8) per-chunk AABB unions in SMEM; rng: (1, 2)
-    i32 chunk range in SMEM. Output (K, 128): i32 keys (IMAX = none).
+    rows-major; cab: (NCH, 8) per-chunk AABB unions in SMEM; rng: (NB, 2)
+    i32 chunk ranges in SMEM, indexed by program_id (a blocked (1, 2) SMEM
+    spec fails the mosaic block-shape rules).
     """
     blk = packT_ref[:]                                   # (16, 128)
     bc = blk[0:3]
@@ -233,8 +240,8 @@ def _bp_exact_kernel(
     bhi = blk[6:9]
     bown = blk[9:10]
     bval = blk[10:11] > 0.5
+    borig = blk[11:12]
     b = pl.program_id(0)
-    base_r = b * 128 + jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     # Block AABB union (over valid lanes) for the scalar chunk guard.
     big = jnp.asarray(BIG, jnp.float32)
@@ -259,9 +266,7 @@ def _bp_exact_kernel(
             rhi = rows[:, 6:9]
             rown = rows[:, 9:10]
             rval = rows[:, 10:11] > 0.5
-            grow = ch * CH + jax.lax.broadcasted_iota(
-                jnp.int32, (CH, 1), 0
-            )
+            rorig = rows[:, 11:12]
             over = jnp.ones((CH, 128), bool)
             d2 = jnp.zeros((CH, 128), jnp.float32)
             for a in range(3):
@@ -270,9 +275,14 @@ def _bp_exact_kernel(
                 )
                 da = rc[:, a : a + 1] - bc[a : a + 1, :]
                 d2 += da * da
-            ok = over & rval & bval & (rown != bown) & (grow != base_r)
+            ok = (
+                over & rval & bval
+                & (rown != bown)
+                & (rorig != borig)
+            )
             q = jnp.minimum(d2 * QS, 131071.0).astype(jnp.int32)
-            keys = jnp.where(ok, (q << 14) | (grow & 16383), jnp.int32(_IMAX))
+            oid = rorig.astype(jnp.int32)
+            keys = jnp.where(ok, (q << 14) | (oid & 16383), jnp.int32(_IMAX))
 
             # Merge into the running best-K: K min-passes over the
             # (K + CH, 128) stack with equality mask-out (keys unique).
@@ -286,11 +296,15 @@ def _bp_exact_kernel(
 
         return 0
 
-    jax.lax.fori_loop(rng_ref[0, 0], rng_ref[0, 1], body, 0)
+    jax.lax.fori_loop(rng_ref[b, 0], rng_ref[b, 1], body, 0)
 
     best = pidx_ref[:]
-    pidx_ref[:] = best & 16383
     pok_ref[:] = (best != _IMAX).astype(jnp.int32)
+    # θ = K-th smallest selected key; max() hits IMAX exactly when some slot
+    # is empty (fewer than K candidates ⇒ j selected everything it saw).
+    th_ref[:] = jnp.broadcast_to(
+        jnp.max(best, axis=0, keepdims=True), th_ref.shape
+    )
 
 
 def broadphase_exact_pallas(
@@ -309,14 +323,17 @@ def broadphase_exact_pallas(
     highs, suffix-min of lows), computed host-side with two searchsorteds.
     Every in-range candidate still gets the exact 3-D AABB test, so recall
     is exact for ANY ordering; the sort only bounds the work (dense piles:
-    ~10 of ~80 chunks per block vs the O(N²) full sweep). Np ≤ 16384 (rank
-    packs into 14 key bits); larger pools use the sorted/grid paths.
+    ~10 of ~80 chunks per block vs the O(N²) full sweep). Np ≤ 16384 (ids
+    pack into 14 key bits); larger pools use the sorted/grid paths.
 
-    Returns (pidx (Np, K), pok (Np, K)) in ORIGINAL order, NOT mutual-masked
-    (callers apply the pidx[pidx] mutual check like the other XLA paths).
+    Returns (pidx (Np, K), pok (Np, K), (key_ji (Np, K) i32, theta (Np,)
+    i32)) in ORIGINAL order. pok is NOT mutual-masked; mutuality is
+    key_ji ≤ theta[pidx] — the caller folds the theta gather into a
+    partner gather it already pays for (narrowphase packed tables), or
+    applies it inline on cold paths.
     """
     Np = centers.shape[0]
-    assert Np <= 16384, "rank field packs into 14 bits"
+    assert Np <= 16384, "piece ids pack into 14 key bits"
     f = centers.dtype
     big = jnp.asarray(BIG, f)
 
@@ -338,7 +355,8 @@ def broadphase_exact_pallas(
         [
             centers, lo, hi,
             owner[:, None].astype(f), valid[:, None].astype(f),
-            jnp.zeros((Np, 5), f),
+            jnp.arange(Np, dtype=f)[:, None],            # orig id (exact ≤ 2^24)
+            jnp.zeros((Np, 4), f),
         ],
         axis=1,
     )[order]                                             # (Np, 16)
@@ -403,15 +421,14 @@ def broadphase_exact_pallas(
     ).astype(jnp.int32)                                  # (NB, 2)
 
     kernel = functools.partial(_bp_exact_kernel, K=K, CH=CH)
-    pidxT, pokT = pl.pallas_call(
+    keysT, pokT, thT = pl.pallas_call(
         kernel,
         grid=(NB,),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((16, 128), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Np_pad, 16), lambda i: (0, 0),
@@ -423,15 +440,33 @@ def broadphase_exact_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, 128), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((K, Np_pad), jnp.int32),
             jax.ShapeDtypeStruct((K, Np_pad), jnp.int32),
+            jax.ShapeDtypeStruct((8, Np_pad), jnp.int32),
         ],
         interpret=interpret,
     )(rng, packT, packR, cab)
 
-    rank = pidxT.T[:Np]                                  # (Np, K) sorted rank
-    pok_s = pokT.T[:Np] > 0
-    pidx_s = order[jnp.clip(rank, 0, Np - 1)]
-    return pidx_s[inv], pok_s[inv]
+    keys = keysT.T[:Np][inv]                             # (Np, K) i32 keys
+    pok = (pokT.T[:Np] > 0)[inv]
+    theta = thT[0][:Np][inv]                             # (Np,)
+    pidx = keys & 16383                                  # orig ids directly
+
+    # Mutual: j selected i ⇔ (q(d²) << 14 | i) ≤ θ_j. q is symmetric, so
+    # key_ji comes straight off the own-side key; the θ_j gather is left
+    # to the caller (it rides the narrowphase partner gather).
+    me = jnp.arange(Np, dtype=jnp.int32)[:, None]
+    key_ji = (keys & ~jnp.int32(16383)) | me
+    return pidx, pok, (key_ji, theta)
+
+
+def apply_theta_mutual(pidx, pok, mut):
+    """Inline mutual mask (standalone θ[pidx] gather) for paths that do
+    not fold it into an existing partner gather."""
+    key_ji, theta = mut
+    Np = theta.shape[0]
+    return pok & (key_ji <= theta[jnp.clip(pidx, 0, Np - 1)])

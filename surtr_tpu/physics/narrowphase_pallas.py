@@ -311,7 +311,7 @@ def _narrow_kernel(
 def narrowphase_raw_pallas(
     packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
-    interpret: bool = False, packedT=None,
+    interpret: bool = False, packedT=None, mut=None,
 ):
     """Raw-kernel variant: returns (out (OUT_R, K·Np_pad), Np_pad) without
     the transpose back to piece-major — the fused prep path consumes row
@@ -321,14 +321,14 @@ def narrowphase_raw_pallas(
     already emits this layout)."""
     return _narrowphase_call(
         packed, pidx, pok, Vh=Vh, F=F, Ne=Ne, K=K, M=M, slop=slop,
-        interpret=interpret, packedT=packedT,
+        interpret=interpret, packedT=packedT, mut=mut,
     )
 
 
 def narrowphase_pairs_pallas(
     packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
-    interpret: bool = False,
+    interpret: bool = False, mut=None,
 ):
     """packed: (Np, D) tight per-piece tables; pidx: (Np, K) i32 partner
     indices (broadphase candidates); pok: (Np, K) candidate flags.
@@ -337,7 +337,7 @@ def narrowphase_pairs_pallas(
     mpts (Np, K, M, 3), mvals (Np, K, M), mhit (Np, K, M))."""
     out, Np_pad = _narrowphase_call(
         packed, pidx, pok, Vh=Vh, F=F, Ne=Ne, K=K, M=M, slop=slop,
-        interpret=interpret,
+        interpret=interpret, mut=mut,
     )
     Np = packed.shape[0]
     OUT_R = _out_rows(M)
@@ -357,7 +357,7 @@ def narrowphase_pairs_pallas(
 def _narrowphase_call(
     packed, pidx, pok,
     Vh: int, F: int, Ne: int, K: int, M: int, slop: float,
-    interpret: bool = False, packedT=None,
+    interpret: bool = False, packedT=None, mut=None,
 ):
     if packedT is not None:
         D, Np = packedT.shape
@@ -370,10 +370,22 @@ def _narrowphase_call(
 
     # Transposed batch-minor tables: columns are pieces / pairs (i-minor
     # within k — pair column of grid step (k, b) lane q is piece b·BQ+q).
-    piT = jnp.pad(
-        packedT if packedT is not None else packed.T,
-        ((0, 0), (0, Np_pad - Np)),
-    )                                                        # (D, Np_pad)
+    piT = packedT if packedT is not None else packed.T       # (D, Np)
+    if mut is not None:
+        # θ-mutual fold (exact broadphase): append θ_j as TWO f32 rows
+        # (hi15 | lo15 — i32 keys exceed f32's mantissa) so the partner
+        # θ rides the ONE packed gather below instead of its own (Np, K)
+        # gather launch (~0.4 ms at 10k on the tunnel).
+        key_ji, theta = mut
+        th = jnp.stack(
+            [
+                (theta >> 15).astype(jnp.float32),
+                (theta & 32767).astype(jnp.float32),
+            ]
+        )                                                    # (2, Np)
+        piT = jnp.concatenate([piT[:, :Np], th], axis=0)
+        D += 2
+    piT = jnp.pad(piT[:, :Np], ((0, 0), (0, Np_pad - Np)))   # (D, Np_pad)
     # Partner table directly in transposed layout via one lane gather of
     # the piece table (measured 0.03 ms vs 0.19 for the row-gather +
     # transpose of the (D, K·Np) block). Padded lanes index piece 0 and
@@ -385,6 +397,14 @@ def _narrowphase_call(
     okT = jnp.pad(
         pok.astype(jnp.float32).T, ((0, 0), (0, Np_pad - Np))
     ).reshape(1, K * Np_pad)
+    if mut is not None:
+        th_j = (
+            pjT[-2].astype(jnp.int32) << 15
+        ) | pjT[-1].astype(jnp.int32)                        # (K·Np_pad,)
+        kjT = jnp.pad(
+            key_ji.T, ((0, 0), (0, Np_pad - Np))
+        ).reshape(-1)
+        okT = okT * (kjT <= th_j).astype(jnp.float32)[None]
 
     grid = (K, NB)
     kernel = functools.partial(

@@ -207,15 +207,16 @@ def prep_contacts_pallas(
 
 
 def prep_and_solve(
-    pt3, dh, pn3, btf, own, pair_body, v0, w0,
+    pt3, dh, pn3, btf, own, pair_body, v0, w0, wake0=None,
     *, K: int, M: int, G: int, iters: int, substeps: int, mu: float,
     dt: float, slop: float, baumgarte: float, restitution: float,
     bounce_thr: float, interpret: bool = False,
 ):
     """Fused prep kernel + packed solver iterations.
 
-    Returns (v1, w1, vn0, hit, is_static) with the (Np, C) tables the
-    sleep/wake bookkeeping needs."""
+    Returns (v1, w1, wake, vn0, hit, is_static) with the (Np, C) tables the
+    sleep/wake bookkeeping needs; ``wake`` is the optional (Np,) island-wake
+    seed spread one contact hop per outer solver iteration."""
     Np = pt3.shape[0]
     C = K * M + G
     BN = 512
@@ -227,15 +228,22 @@ def prep_and_solve(
         restitution=restitution, bounce_thr=bounce_thr,
         interpret=interpret, BN=BN,
     )
+    if wake0 is None:
+        wake0 = jnp.zeros((Np,), jnp.float32)
     vw0 = jnp.pad(
-        jnp.concatenate([v0, w0], axis=1), ((0, Np_pad - Np), (0, 2))
+        jnp.concatenate(
+            [v0, w0, wake0.astype(jnp.float32)[:, None],
+             jnp.zeros((Np, 1), jnp.float32)],
+            axis=1,
+        ),
+        ((0, Np_pad - Np), (0, 0)),
     )
     pb = jnp.clip(pair_body, 0, Np - 1)
-    v1, w1 = solve_packed(
+    v1, w1, wake = solve_packed(
         vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
         K=K, M=M, G=G, iters=iters, substeps=substeps, mu=mu,
         Np=Np, interpret=interpret, BN=BN,
     )
     hit = hs_p[:Np, 0:C] > 0.5
     stat = hs_p[:Np, C : 2 * C] > 0.5
-    return v1, w1, vn0, hit, stat
+    return v1, w1, wake, vn0, hit, stat

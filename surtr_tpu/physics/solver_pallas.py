@@ -114,9 +114,17 @@ def _solver_iter_kernel(
         v = [v[0] + m_s * sx, v[1] + m_s * sy, v[2] + m_s * sz]
         w = [w[0] + dwx, w[1] + dwy, w[2] + dwz]
 
-    out = jnp.concatenate(
-        v + w + [jnp.zeros_like(m_s), jnp.zeros_like(m_s)], axis=1
+    # Island-wake propagation (VERDICT r3 item 8) rides the partner gather
+    # this kernel already pays for: column 6 of vw carries a 0/1 wake flag;
+    # each launch spreads it one hop over the LIVE contact graph, so the
+    # outer iteration loop gives iters/substeps hops per step for free
+    # (the XLA fallback paths pay ~0.65 ms per gather hop instead).
+    wake0 = vw[:, 6:7]
+    pwake = expand(6)
+    wake = jnp.maximum(
+        wake0, jnp.max(hit * live * pwake, axis=1, keepdims=True)
     )
+    out = jnp.concatenate(v + w + [wake, jnp.zeros_like(m_s)], axis=1)
     ovw_ref[:] = out
 
 
@@ -144,9 +152,9 @@ def solve_packed(
     )
 
     def one_iter(vw8, _):
-        # vw8 stays padded across iterations. Partner gather in XLA (the
-        # zero columns 6:8 ride along and are sliced off by the kernel).
-        # Layout (Np, 8K): [vx_pairs | vy | vz | wx | wy | wz | 0 | 0].
+        # vw8 stays padded across iterations. Partner gather in XLA (column
+        # 6 carries the wake flag, column 7 rides as zero padding).
+        # Layout (Np, 8K): [vx_pairs | vy | vz | wx | wy | wz | wake | 0].
         pvw = jnp.transpose(vw8[pb], (0, 2, 1)).reshape(Np, 8 * K)
         pvw_p = jnp.pad(pvw, ((0, Np_pad - Np), (0, K6p - 8 * K)))
         out = pl.pallas_call(
@@ -170,7 +178,7 @@ def solve_packed(
         return out, None
 
     vw, _ = jax.lax.scan(one_iter, vw0, None, length=outer)
-    return vw[:Np, 0:3], vw[:Np, 3:6]
+    return vw[:Np, 0:3], vw[:Np, 3:6], vw[:Np, 6] > 0.5
 
 
 @functools.partial(
@@ -181,14 +189,15 @@ def solve_contacts_pallas(
     v0, w0, pair_body, rA, rB, nrm, m_eff, target, hit, is_static,
     iA_m, sA, iA_I,
     K: int, M: int, G: int, iters: int, substeps: int, mu: float,
-    interpret: bool = False,
+    interpret: bool = False, wake0=None,
 ):
     """Run ``iters`` fused Jacobi iterations. Single-piece-bodies layout:
     every (Np, ...) row is its own body.
 
     v0/w0: (Np, 3); pair_body: (Np, K) partner body per pair; rA/rB/nrm:
     (Np, C, 3); m_eff/target/hit/is_static: (Np, C); iA_m/sA: (Np,);
-    iA_I: (Np, 3, 3). Returns (v, w).
+    iA_I: (Np, 3, 3); wake0: optional (Np,) 0/1 island-wake seed. Returns
+    (v, w, wake) — wake is the seed spread iters/substeps contact hops.
     """
     Np = v0.shape[0]
     C = K * M + G
@@ -223,8 +232,15 @@ def solve_contacts_pallas(
     )                                                   # (Np_pad, 16)
     pb = jnp.clip(pair_body, 0, Np - 1)
 
+    if wake0 is None:
+        wake0 = jnp.zeros((Np,), jnp.float32)
     vw0 = jnp.pad(
-        jnp.concatenate([v0, w0], axis=1), ((0, Np_pad - Np), (0, 2))
+        jnp.concatenate(
+            [v0, w0, wake0.astype(jnp.float32)[:, None],
+             jnp.zeros((Np, 1), jnp.float32)],
+            axis=1,
+        ),
+        ((0, Np_pad - Np), (0, 0)),
     )
     return solve_packed(
         vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,

@@ -454,16 +454,20 @@ def _physics_step_body(
         else:
             bp_mode = "sorted"
     mutual_done = False
+    bp_mut = None
     if bp_mode == "exact_pallas":
         from surtr_tpu.physics.broadphase_pallas import (
             broadphase_exact_pallas,
         )
 
-        pidx, pok = broadphase_exact_pallas(
+        pidx, pok, bp_mut = broadphase_exact_pallas(
             centers, lo, hi, scene.piece_owner, pvalid, K,
             interpret=not on_tpu,
         )
         bp_order = bp_inv = bp_delta = None
+        mutual_done = True  # θ-threshold mutual; folded into the
+        # narrowphase partner gather below (apply_theta_mutual inline on
+        # the truncation / XLA fallbacks)
     elif bp_mode == "sorted":
         if (
             cfg.pallas_broadphase
@@ -505,6 +509,12 @@ def _physics_step_body(
         pok = pok & mutual
 
     if profile_stage <= 2:
+        if bp_mut is not None:
+            from surtr_tpu.physics.broadphase_pallas import (
+                apply_theta_mutual,
+            )
+
+            pok = apply_theta_mutual(pidx, pok, bp_mut)
         return _stage_out(scene, pidx, pok)
 
     # --- 3a. pair narrowphase (SAT), piece-major pair slots (Np, K).
@@ -519,7 +529,7 @@ def _physics_step_body(
         np_raw = narrowphase_raw_pallas(
             None, pidx, pok,
             Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
-            interpret=not on_tpu, packedT=packedT,
+            interpret=not on_tpu, packedT=packedT, mut=bp_mut,
         )
         if profile_stage <= 3:
             return _stage_out(scene, np_raw[0])
@@ -556,7 +566,7 @@ def _physics_step_body(
             narrowphase_pairs_pallas(
                 packed_p, pidx, pok,
                 Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
-                interpret=not on_tpu,
+                interpret=not on_tpu, mut=bp_mut,
             )
         )
         # Slot-major tiling for the general (XLA-prep) path.
@@ -586,6 +596,10 @@ def _physics_step_body(
             wedges.reshape(Np, nEd * 3),
             scene.piece_emask.astype(wverts.dtype),
         ]
+    if bp_mut is not None:
+        from surtr_tpu.physics.broadphase_pallas import apply_theta_mutual
+
+        pok = apply_theta_mutual(pidx, pok, bp_mut)
     packed = jnp.concatenate(parts, axis=1)                    # (Np, D)
     pj = packed[pidx]                                          # (Np, K, D)
     o = 0
@@ -874,14 +888,15 @@ def _fused_prep_solve(
     if profile_stage == 35:  # contact prep only (solver loop excluded)
         packed = prep_contacts_pallas(pt3, dh, pn3, btf, own, **kw)
         return _stage_out(scene, *packed[:7])
-    v1, w1, vn0, hit, stat = prep_and_solve(
+    v1, w1, wake, vn0, hit, stat = prep_and_solve(
         pt3, dh, pn3, btf, own, pidx, v0, w0,
+        _wake_seed(v0, w0, bodies.active, cfg),
         iters=cfg.solver_iters, substeps=max(1, cfg.solver_substeps),
         mu=cfg.dynamic_friction, **kw,
     )
     return _finish_step(
         scene, bodies, v1, w1, dt, cfg, profile_stage,
-        vn0, hit, stat, True, owner, pidx=pidx,
+        vn0, hit, stat, True, owner, pidx=pidx, wake_prop=wake,
     )
 
 
@@ -1091,16 +1106,17 @@ def _assemble_and_solve(
         # XLA ops (per-op overhead dominated the solver at 10k bodies).
         from surtr_tpu.physics.solver_pallas import solve_contacts_pallas
 
-        v1, w1 = solve_contacts_pallas(
+        v1, w1, wake = solve_contacts_pallas(
             v0, w0, pidx, rA, rB, nrm, m_eff, target, hit, is_static,
             inv_m, split_body, inv_I,
             K=K, M=M, G=G, iters=cfg.solver_iters,
             substeps=max(1, cfg.solver_substeps), mu=mu,
             interpret=not on_tpu,
+            wake0=_wake_seed(v0, w0, bodies.active, cfg),
         )
         return _finish_step(
             scene, bodies, v1, w1, dt, cfg, profile_stage,
-            vn0, hit, is_static, single, myb, pidx=pidx,
+            vn0, hit, is_static, single, myb, pidx=pidx, wake_prop=wake,
         )
 
     S = max(1, cfg.solver_substeps)
@@ -1147,9 +1163,19 @@ def _assemble_and_solve(
     )
 
 
+def _wake_seed(v0, w0, active, cfg):
+    """(Np,) 0/1 island-wake seed: bodies moving above wake_speed PRE-solve
+    (the striker in a lateral hit; post-solve speeds are handled by the
+    direct vn0 rule in _finish_step). wake_hops == 0 disables seeding."""
+    if cfg.wake_hops <= 0:
+        return None
+    speed2 = jnp.sum(v0 * v0, -1) + jnp.sum(w0 * w0, -1)
+    return ((speed2 > cfg.wake_speed**2) & active).astype(jnp.float32)
+
+
 def _finish_step(
     scene, bodies, v1, w1, dt, cfg, profile_stage,
-    vn0, hit, is_static, single, myb, pidx=None,
+    vn0, hit, is_static, single, myb, pidx=None, wake_prop=None,
 ):
     """Sleep bookkeeping + stage-5 integration."""
     if profile_stage <= 4:
@@ -1172,7 +1198,13 @@ def _finish_step(
         # (the per-body freeze cascade is what damps the resting limit
         # cycle — see the note below); the wake_speed threshold keeps
         # settling jitter (≲ 0.1 m/s) from propagating.
-        if pidx is not None and cfg.wake_hops > 0:
+        if wake_prop is not None and cfg.wake_hops > 0:
+            # Pallas solver path: the wake flag propagated in-kernel (one
+            # hop per outer solver iteration, riding the existing partner
+            # gather — the XLA hop loop below costs ~0.65 ms per gather
+            # launch at 10k).
+            dist_piece = dist_piece | wake_prop
+        elif pidx is not None and cfg.wake_hops > 0:
             K = pidx.shape[1]
             M = max(1, cfg.manifold_points)
             pair_hit = jnp.any(

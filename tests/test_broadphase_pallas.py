@@ -76,8 +76,17 @@ def _pairs(pidx, pok):
     return s
 
 
+def _mutual(pidx, pok):
+    """Apply the step's (Np, K, K) mutual check to a raw XLA result."""
+    partner_lists = pidx[pidx]
+    me = jnp.arange(pidx.shape[0], dtype=jnp.int32)[:, None, None]
+    return pok & jnp.any(partner_lists == me, axis=-1)
+
+
 def _check_exact(centers, owner, valid, K=8, half_lo=0.2, half_hi=0.6, seed=1):
-    from surtr_tpu.physics.broadphase_pallas import broadphase_exact_pallas
+    from surtr_tpu.physics.broadphase_pallas import (
+        apply_theta_mutual, broadphase_exact_pallas,
+    )
     from surtr_tpu.physics.step import _broadphase
 
     rng = np.random.default_rng(seed)
@@ -87,21 +96,22 @@ def _check_exact(centers, owner, valid, K=8, half_lo=0.2, half_hi=0.6, seed=1):
     lo, hi = centers - half, centers + half
     owner = jnp.asarray(owner, jnp.int32)
     valid = jnp.asarray(valid)
-    pidx_p, pok_p = broadphase_exact_pallas(
+    pidx_p, pok_p, mut = broadphase_exact_pallas(
         centers, lo, hi, owner, valid, K, interpret=True
     )
+    pok_p = apply_theta_mutual(pidx_p, pok_p, mut)
     pidx_x, pok_x = _broadphase(centers, lo, hi, owner, valid, K, 256)
-    assert _pairs(pidx_p, pok_p) == _pairs(pidx_x, pok_x)
+    assert _pairs(pidx_p, pok_p) == _pairs(pidx_x, _mutual(pidx_x, pok_x))
 
 
 def test_broadphase_exact_pallas_matches_xla_exact():
-    """Full-recall Pallas sweep == the exact XLA block sweep (pair sets).
+    """Full-recall Pallas sweep == exact XLA block sweep + mutual mask.
 
     The Morton-window sweep misses 20-30% of the exact top-8 on dense piles
     (ROADMAP rej. 6); the exact kernel must miss NONE — its selection keys
-    (quantized d² | rank) are unique, so pair sets match the XLA exact
-    sweep exactly up to equal-distance saturated-K ties, which the random
-    half-extents make improbable."""
+    (quantized d² | piece id) are unique, so MUTUAL pair sets match the XLA
+    exact sweep exactly up to equal-distance saturated-K ties, which the
+    random half-extents make improbable."""
     rng = np.random.default_rng(5)
     n = 700
     centers = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
@@ -113,12 +123,15 @@ def test_broadphase_exact_pallas_dense_pile():
     """Dense lattice pile (the Morton path's worst case): full recall.
 
     A uniform lattice saturates K with exact distance TIES (6 face + 12
-    edge neighbors), where the Pallas kernel (lowest Morton rank) and XLA
-    top_k (candidate block order) legitimately pick different tied
-    partners — so assert the per-piece sorted partner DISTANCES instead of
-    identities, plus per-piece counts."""
-    from surtr_tpu.physics.broadphase_pallas import broadphase_exact_pallas
-    from surtr_tpu.physics.step import _broadphase
+    edge neighbors), where the kernel (lowest piece id) and XLA top_k
+    (candidate block order) legitimately select different tied partners, so
+    the mutual sets can differ on the tie group. Assert the GUARANTEED
+    core instead: every face-neighbor pair (d = 1.02, strictly nearer than
+    any tie group, so both sides select it before saturating) must be
+    mutual-kept, and nothing beyond K is ever emitted."""
+    from surtr_tpu.physics.broadphase_pallas import (
+        apply_theta_mutual, broadphase_exact_pallas,
+    )
 
     side = 9
     g = np.arange(side, dtype=np.float32) * 1.02
@@ -132,20 +145,19 @@ def test_broadphase_exact_pallas_dense_pile():
     owner = jnp.arange(n, dtype=jnp.int32)
     valid = jnp.ones((n,), bool)
     K = 8
-    pidx_p, pok_p = broadphase_exact_pallas(
+    pidx_p, pok_p, mut = broadphase_exact_pallas(
         c, lo, hi, owner, valid, K, interpret=True
     )
-    pidx_x, pok_x = _broadphase(c, lo, hi, owner, valid, K, 256)
-    d2 = lambda i, j: ((centers[i] - centers[j]) ** 2).sum()
-    for i in range(n):
-        dp = sorted(
-            round(float(d2(i, int(j))), 4)
-            for j, ok in zip(np.asarray(pidx_p[i]), np.asarray(pok_p[i]))
-            if ok
-        )
-        dx = sorted(
-            round(float(d2(i, int(j))), 4)
-            for j, ok in zip(np.asarray(pidx_x[i]), np.asarray(pok_x[i]))
-            if ok
-        )
-        assert dp == dx, (i, dp, dx)
+    pok_p = apply_theta_mutual(pidx_p, pok_p, mut)
+    kept = _pairs(pidx_p, pok_p)
+    # Face neighbors along each lattice axis.
+    idx = np.arange(n).reshape(side, side, side)
+    missing = []
+    for ax in range(3):
+        a = np.moveaxis(idx, ax, 0)
+        for i, j in zip(a[:-1].ravel(), a[1:].ravel()):
+            if (int(i), int(j)) not in kept or (int(j), int(i)) not in kept:
+                missing.append((int(i), int(j)))
+    assert not missing, (len(missing), missing[:5])
+    # Mutual symmetry of everything kept.
+    assert all((j, i) in kept for (i, j) in kept)

@@ -5,7 +5,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from surtr_tpu.render.camera import light_view_proj, look_at, ortho, perspective
+import pytest
+
 from surtr_tpu.render.raster import render_scene, rasterize_ids
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """The XLA:CPU serialize()/deserialize() of this module's large render
+    executables segfaults intermittently when the persistent compile cache
+    tries to store them (observed at tests/test_scene.py::render in three
+    full-suite runs, stack ending in compilation_cache
+    put/get_executable_and_time -> executable.serialize). Keep these
+    programs out of the on-disk cache; everything else stays cached."""
+    import jax
+    from jax._src import compilation_cache as _cc
+
+    _prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    _cc.reset_cache()  # the enable flag alone does NOT stop reads/writes
+    yield
+    jax.config.update("jax_compilation_cache_dir", _prev)
+    _cc.reset_cache()
+
 
 
 def test_single_triangle_coverage_and_depth():

@@ -64,8 +64,14 @@ def main():
 
     scene, cfg0, offsets = build_pile()
     REP = 64
+    variants = []
     for mode in os.environ.get("MODES", "sorted,exact_pallas").split(","):
-        cfg = dataclasses.replace(cfg0, broadphase=mode)
+        variants.append((mode, dataclasses.replace(cfg0, broadphase=mode)))
+    if os.environ.get("NOWAKE", "1") == "1":
+        variants.append(
+            ("sorted/wake_hops=0",
+             dataclasses.replace(cfg0, broadphase="sorted", wake_hops=0)))
+    for mode, cfg in variants:
 
         @jax.jit
         def run(s, _cfg=cfg):
@@ -92,7 +98,9 @@ def main():
     @jax.jit
     def solo(c, l, h, o, v):
         def body(acc, _):
-            pidx, pok = broadphase_exact_pallas(c, l, h, o, v, 8)
+            pidx, pok, mut = broadphase_exact_pallas(c, l, h, o, v, 8)
+            from surtr_tpu.physics.broadphase_pallas import apply_theta_mutual
+            pok = apply_theta_mutual(pidx, pok, mut)
             return acc + jnp.sum(pidx * pok), None
         return jax.lax.scan(body, jnp.int32(0), None, length=REP)[0]
 

@@ -74,6 +74,9 @@ def main():
         2: "2 +cell planes",
         3: "3 +patterns",
         4: "4 +conv clip fold",
+        42: "42  (active+cull)",
+        43: "43  (+pair pack)",
+        44: "44  (+pooled fold)",
         5: "5 +cull+mesh clip",
         6: "6 +islands",
         7: "7 +finish(refit/caps)",
