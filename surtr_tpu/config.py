@@ -173,6 +173,18 @@ class PhysicsConfig:
     # lateral stack drift over 5 s from manifold-slot re-matching noise.
     # True warm starting needs a sequential (Gauss-Seidel) sweep. See
     # ROADMAP.
+    warm_start: bool = False       # persistent-manifold warm starting
+                                   # (PhysX analogue): carry accumulated
+                                   # normal impulses across steps keyed by
+                                   # (partner body, contact FEATURE id —
+                                   # the generating hull vertex, stable
+                                   # under manifold-slot permutation), and
+                                   # solve in accumulated-PGS mode (clamp
+                                   # on the TOTAL impulse, friction from
+                                   # the remaining cone budget). Fused
+                                   # Pallas solver path only; default OFF
+                                   # until the stack/pile suite validates
+                                   # the iteration-count savings
     solver_substeps: int = 2       # impulse updates per partner-velocity
                                    # refresh (chaotic-relaxation Jacobi:
                                    # own-body state updates every substep,

@@ -43,7 +43,7 @@ BIG = 3.4e38
 
 # Output rows per pair: nx ny nz depth hit, then M × [val, hit, px, py, pz].
 def _out_rows(M: int) -> int:
-    return ((5 + 5 * M + 7) // 8) * 8
+    return ((5 + 6 * M + 7) // 8) * 8
 
 
 _DOP = np.asarray(
@@ -251,8 +251,16 @@ def _narrow_kernel(
     pty_j = jv[1] - ny * (depth_jv * 0.5)
     ptz_j = jv[2] - nz * (depth_jv * 0.5)
 
-    mv, mh, mpx, mpy, mpz = [], [], [], [], []
+    mv, mh, mpx, mpy, mpz, mfid = [], [], [], [], [], []
     any_m = jnp.zeros((1, Q), bool)
+    # Stable contact FEATURE id (PhysX persistent-manifold analogue): the
+    # hull-vertex row that generated the point (1..Vh i-side, Vh+1..2Vh
+    # j-side) — invariant across steps while the pair rests on the same
+    # features, unlike the deepest-first slot ORDER, which permutes as
+    # depths jitter. Warm starting matches accumulated impulses by
+    # (partner body, feature), so slot permutation noise cannot re-apply
+    # an impulse to the wrong point (ROADMAP rejection 2's failure mode).
+    ridx = 1.0 + jax.lax.broadcasted_iota(f32, (2 * Vh, Q), 0)
     for _ in range(M):
         mx = jnp.max(sc, axis=0, keepdims=True)
         best = _first_true_rows(sc >= mx).astype(f32)
@@ -267,6 +275,7 @@ def _narrow_kernel(
         mpx.append(px)
         mpy.append(py)
         mpz.append(pz)
+        mfid.append(jnp.sum(best * ridx, axis=0, keepdims=True))
         any_m = any_m | h
         sc = jnp.where(best > 0.5, -big, sc)
 
@@ -297,10 +306,20 @@ def _narrow_kernel(
     mpz[0] = jnp.where(none, fz, mpz[0])
     mv[0] = jnp.where(none, depth, mv[0])
     mh[0] = mh[0] | none
+    # Fallback feature: the (i-vert, j-vert) support pair, offset past the
+    # containment range (2Vh + i·Vh + j + 1 ≤ 2Vh + Vh² + Vh — exact in f32
+    # for Vh ≤ 64).
+    riv = 1.0 + jax.lax.broadcasted_iota(f32, (Vh, Q), 0)
+    fid_fb = (
+        2.0 * Vh
+        + jnp.sum(fi * (riv - 1.0), 0, keepdims=True) * Vh
+        + jnp.sum(fj * riv, 0, keepdims=True)
+    )
+    mfid[0] = jnp.where(none, fid_fb, mfid[0])
 
     rows = [nx, ny, nz, depth, hit.astype(f32)]
     for m in range(M):
-        rows += [mv[m], mh[m].astype(f32), mpx[m], mpy[m], mpz[m]]
+        rows += [mv[m], mh[m].astype(f32), mpx[m], mpy[m], mpz[m], mfid[m]]
     out = jnp.concatenate(rows, axis=0)
     pad = out_ref.shape[0] - out.shape[0]
     out_ref[:] = jnp.concatenate(
@@ -316,7 +335,8 @@ def narrowphase_raw_pallas(
     """Raw-kernel variant: returns (out (OUT_R, K·Np_pad), Np_pad) without
     the transpose back to piece-major — the fused prep path consumes row
     slices directly (rows: nx ny nz depth hit, then per manifold point m
-    at 5+5m: val hit px py pz; lane k·Np_pad+n is piece n's k-th pair).
+    at 5+6m: val hit px py pz fid; lane k·Np_pad+n is piece n's k-th
+    pair).
     ``packedT`` (D, Np) skips the transpose (the transform-pack kernel
     already emits this layout)."""
     return _narrowphase_call(
@@ -347,11 +367,12 @@ def narrowphase_pairs_pallas(
     pc_n = o[:, :, 0:3]
     depth = o[:, :, 3]
     pair_hit = o[:, :, 4] > 0.5
-    mvrows = o[:, :, 5 : 5 + 5 * M].reshape(Np, K, M, 5)
+    mvrows = o[:, :, 5 : 5 + 6 * M].reshape(Np, K, M, 6)
     mvals = mvrows[..., 0]
     mhit = mvrows[..., 1] > 0.5
     mpts = mvrows[..., 2:5]
-    return pc_n, depth, pair_hit, mpts, mvals, mhit
+    mfid = mvrows[..., 5].astype(jnp.int32)
+    return pc_n, depth, pair_hit, mpts, mvals, mhit, mfid
 
 
 def _narrowphase_call(

@@ -207,16 +207,19 @@ def prep_contacts_pallas(
 
 
 def prep_and_solve(
-    pt3, dh, pn3, btf, own, pair_body, v0, w0, wake0=None,
+    pt3, dh, pn3, btf, own, pair_body, v0, w0, wake0=None, lam0=None,
     *, K: int, M: int, G: int, iters: int, substeps: int, mu: float,
     dt: float, slop: float, baumgarte: float, restitution: float,
     bounce_thr: float, interpret: bool = False,
 ):
     """Fused prep kernel + packed solver iterations.
 
-    Returns (v1, w1, wake, vn0, hit, is_static) with the (Np, C) tables the
-    sleep/wake bookkeeping needs; ``wake`` is the optional (Np,) island-wake
-    seed spread one contact hop per outer solver iteration."""
+    Returns (v1, w1, wake, lam, vn0, hit, is_static) with the (Np, C)
+    tables the sleep/wake bookkeeping needs; ``wake`` is the optional (Np,)
+    island-wake seed spread one contact hop per outer solver iteration;
+    ``lam0``/``lam`` are the warm-start accumulated normal impulses (the
+    solver runs in accumulated-PGS mode when lam0 is given, and the WARM
+    impulse itself is pre-applied here from the packed tables)."""
     Np = pt3.shape[0]
     C = K * M + G
     BN = 512
@@ -230,6 +233,43 @@ def prep_and_solve(
     )
     if wake0 is None:
         wake0 = jnp.zeros((Np,), jnp.float32)
+    hit = hs_p[:Np, 0:C] > 0.5
+    if lam0 is not None:
+        # Pre-apply the matched warm impulse λn·n̂ + λu·û + λv·v̂ with the
+        # SAME scales and tangent basis the kernel iterations use (mass
+        # split included), so iteration 0 starts from the warm state and
+        # the accumulated clamps can relax any over-application.
+        from surtr_tpu.physics.solver_pallas import tangent_basis
+
+        lam0 = lam0 * hit[..., None]
+        nx = n_p[:Np, 0:C]
+        ny = n_p[:Np, C : 2 * C]
+        nz = n_p[:Np, 2 * C : 3 * C]
+        (ux, uy, uz), (vx_, vy_, vz_) = tangent_basis(nx, ny, nz)
+        ln, lu, lv = lam0[..., 0], lam0[..., 1], lam0[..., 2]
+        ix = ln * nx + lu * ux + lv * vx_
+        iy = ln * ny + lu * uy + lv * vy_
+        iz = ln * nz + lu * uz + lv * vz_
+        rAx = rA_p[:Np, 0:C]
+        rAy = rA_p[:Np, C : 2 * C]
+        rAz = rA_p[:Np, 2 * C : 3 * C]
+        m_s = scale[:Np, 0:1]
+        s_s = scale[:Np, 1:2]
+        II = iAI_p[:Np]
+        v0 = v0 + m_s * jnp.stack(
+            [jnp.sum(ix, 1), jnp.sum(iy, 1), jnp.sum(iz, 1)], axis=1
+        )
+        tqx = jnp.sum(rAy * iz - rAz * iy, 1, keepdims=True)
+        tqy = jnp.sum(rAz * ix - rAx * iz, 1, keepdims=True)
+        tqz = jnp.sum(rAx * iy - rAy * ix, 1, keepdims=True)
+        w0 = w0 + s_s * jnp.concatenate(
+            [
+                II[:, 0:1] * tqx + II[:, 1:2] * tqy + II[:, 2:3] * tqz,
+                II[:, 3:4] * tqx + II[:, 4:5] * tqy + II[:, 5:6] * tqz,
+                II[:, 6:7] * tqx + II[:, 7:8] * tqy + II[:, 8:9] * tqz,
+            ],
+            axis=1,
+        )
     vw0 = jnp.pad(
         jnp.concatenate(
             [v0, w0, wake0.astype(jnp.float32)[:, None],
@@ -239,11 +279,10 @@ def prep_and_solve(
         ((0, Np_pad - Np), (0, 0)),
     )
     pb = jnp.clip(pair_body, 0, Np - 1)
-    v1, w1, wake = solve_packed(
+    v1, w1, wake, lam = solve_packed(
         vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
         K=K, M=M, G=G, iters=iters, substeps=substeps, mu=mu,
-        Np=Np, interpret=interpret, BN=BN,
+        Np=Np, interpret=interpret, BN=BN, lam0=lam0,
     )
-    hit = hs_p[:Np, 0:C] > 0.5
     stat = hs_p[:Np, C : 2 * C] > 0.5
-    return v1, w1, wake, vn0, hit, stat
+    return v1, w1, wake, lam, vn0, hit, stat

@@ -47,6 +47,13 @@ class PhysicsScene:
                              # the sleeper after wake_push_frames (the
                              # creeping-pile anchor fix; bounce cycles
                              # reset it at every separation/turnaround)
+    warm_pair: jax.Array     # (Np, K) i32 previous step's pair partners
+                             # (PhysX persistent-manifold warm start)
+    warm_fid: jax.Array      # (Np, M·K) i32 previous contact feature ids
+                             # (slot = m·K + k; 0 = none)
+    warm_lam: jax.Array      # (Np, M·K·3) f32 accumulated impulse state
+                             # [λn, λu, λv] per slot (tangent basis is
+                             # re-derived from the step's normals)
 
     @property
     def B(self) -> int:
@@ -253,6 +260,14 @@ def build_scene(
         seg_start=seg_start,
         sleep_frames=jnp.zeros((B,), jnp.int32),
         push_frames=jnp.zeros((B,), jnp.int32),
+        warm_pair=jnp.full((P, cfg.max_neighbors), -1, jnp.int32),
+        warm_fid=jnp.zeros(
+            (P, max(1, cfg.manifold_points) * cfg.max_neighbors), jnp.int32
+        ),
+        warm_lam=jnp.zeros(
+            (P, max(1, cfg.manifold_points) * cfg.max_neighbors * 3),
+            jnp.float32,
+        ),
     )
 
 

@@ -28,8 +28,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def tangent_basis(nx, ny, nz):
+    """Deterministic per-slot tangent basis (û, v̂) of unit normals given
+    componentwise — pure jnp, shared by the kernel and the XLA warm
+    pre-apply so stored (λu, λv) re-apply in a bit-identical frame."""
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    ex = ((ax <= ay) & (ax <= az)).astype(nx.dtype)
+    ey = ((ay < ax) & (ay <= az)).astype(nx.dtype)
+    ez = 1.0 - ex - ey
+    # u = normalize(e × n)
+    ux = ey * nz - ez * ny
+    uy = ez * nx - ex * nz
+    uz = ex * ny - ey * nx
+    ul = jnp.sqrt(ux * ux + uy * uy + uz * uz)
+    inv = 1.0 / jnp.maximum(ul, 1e-12)
+    ux, uy, uz = ux * inv, uy * inv, uz * inv
+    # v = n × u
+    vx = ny * uz - nz * uy
+    vy = nz * ux - nx * uz
+    vz = nx * uy - ny * ux
+    return (ux, uy, uz), (vx, vy, vz)
+
+
 def _solver_iter_kernel(
-    vw_ref,        # (BN, 8)   [vx vy vz wx wy wz 0 0]
+    vw_ref,        # (BN, 8)   [vx vy vz wx wy wz wake 0]
     pvw_ref,       # (BN, K6p) partner [vx.. K | vy.. | vz | wx | wy | wz]
     rA_ref,        # (BN, P3) [x | y | z] blocks of C, tightly packed
     rB_ref,        # (BN, P3)
@@ -38,8 +60,10 @@ def _solver_iter_kernel(
     hs_ref,        # (BN, P2) [hit | static] f32 0/1
     scale_ref,     # (BN, 8)  [iAm*sA, sA, 0...]
     iAI_ref,       # (BN, 16) row-major 3x3 inverse inertia (padded)
+    lam_ref,       # (BN, PL) [lam_n | lam_u | lam_v] accumulators (warm)
     ovw_ref,       # (BN, 8) output
-    *, K: int, M: int, G: int, C: int, S: int, mu: float,
+    olam_ref,      # (BN, PL) output accumulators
+    *, K: int, M: int, G: int, C: int, S: int, mu: float, warm: bool,
 ):
     vw = vw_ref[:]
     v = [vw[:, 0:1], vw[:, 1:2], vw[:, 2:3]]
@@ -82,6 +106,13 @@ def _solver_iter_kernel(
     s_s = sc[:, 1:2]                                    # split
     II = iAI_ref[:]
 
+    if warm:
+        la = lam_ref[:]
+        lam_n_acc = la[:, 0:C]
+        lam_u_acc = la[:, C : 2 * C]
+        lam_v_acc = la[:, 2 * C : 3 * C]
+        (ux, uy, uz), (vx_, vy_, vz_) = tangent_basis(nx, ny, nz)
+
     for _ in range(S):
         vAx = v[0] + (w[1] * rAz - w[2] * rAy)
         vAy = v[1] + (w[2] * rAx - w[0] * rAz)
@@ -89,16 +120,43 @@ def _solver_iter_kernel(
         vrx, vry, vrz = vAx - vBx, vAy - vBy, vAz - vBz
 
         vn = vrx * nx + vry * ny + vrz * nz
-        lam_n = jnp.maximum(-(vn - targ) * meff, 0.0)
-        vtx = vrx - vn * nx
-        vty = vry - vn * ny
-        vtz = vrz - vn * nz
-        vt_len = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
-        inv_vt = 1.0 / jnp.maximum(vt_len, 1e-9)
-        lam_t = jnp.minimum(vt_len * meff, mu * lam_n)
-        ix = hit * (lam_n * nx - lam_t * vtx * inv_vt)
-        iy = hit * (lam_n * ny - lam_t * vty * inv_vt)
-        iz = hit * (lam_n * nz - lam_t * vtz * inv_vt)
+        if warm:
+            # Accumulated-impulse PGS (PhysX/Box2D warm-start semantics):
+            # clamps apply to the TOTAL impulses, so pre-applied warm
+            # impulses can be taken back when a contact relaxes
+            # (per-iteration max(0) cannot — ROADMAP rej. 2's bounce
+            # source). Friction accumulates as a 2-D vector in the
+            # deterministic tangent basis and is cone-clamped by
+            # RESCALING against μ·λn_total each substep.
+            dlam = -(vn - targ) * meff
+            lam_new = jnp.maximum(lam_n_acc + dlam, 0.0) * hit
+            lam_n = lam_new - lam_n_acc
+            lam_n_acc = lam_new
+            vtu = vrx * ux + vry * uy + vrz * uz
+            vtv = vrx * vx_ + vry * vy_ + vrz * vz_
+            lu = (lam_u_acc - vtu * meff) * hit
+            lv = (lam_v_acc - vtv * meff) * hit
+            tl = jnp.sqrt(lu * lu + lv * lv)
+            cone = mu * lam_new
+            scl = jnp.where(tl > cone, cone / jnp.maximum(tl, 1e-12), 1.0)
+            lu, lv = lu * scl, lv * scl
+            imp_u = lu - lam_u_acc
+            imp_v = lv - lam_v_acc
+            lam_u_acc, lam_v_acc = lu, lv
+            ix = hit * (lam_n * nx + imp_u * ux + imp_v * vx_)
+            iy = hit * (lam_n * ny + imp_u * uy + imp_v * vy_)
+            iz = hit * (lam_n * nz + imp_u * uz + imp_v * vz_)
+        else:
+            vtx = vrx - vn * nx
+            vty = vry - vn * ny
+            vtz = vrz - vn * nz
+            vt_len = jnp.sqrt(vtx * vtx + vty * vty + vtz * vtz)
+            inv_vt = 1.0 / jnp.maximum(vt_len, 1e-9)
+            lam_n = jnp.maximum(-(vn - targ) * meff, 0.0)
+            lam_t = jnp.minimum(vt_len * meff, mu * lam_n)
+            ix = hit * (lam_n * nx - lam_t * vtx * inv_vt)
+            iy = hit * (lam_n * ny - lam_t * vty * inv_vt)
+            iz = hit * (lam_n * nz - lam_t * vtz * inv_vt)
 
         # Per-piece sums (single-piece bodies: piece row == body row).
         sx = jnp.sum(ix, axis=1, keepdims=True)         # (BN, 1)
@@ -126,19 +184,33 @@ def _solver_iter_kernel(
     )
     out = jnp.concatenate(v + w + [wake, jnp.zeros_like(m_s)], axis=1)
     ovw_ref[:] = out
+    if warm:
+        pad = olam_ref.shape[1] - 3 * C
+        olam_ref[:] = jnp.concatenate(
+            [
+                lam_n_acc, lam_u_acc, lam_v_acc,
+                jnp.zeros((lam_n_acc.shape[0], pad), lam_n_acc.dtype),
+            ],
+            axis=1,
+        )
+    else:
+        olam_ref[:] = jnp.zeros_like(olam_ref)
 
 
 def solve_packed(
     vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
     *, K: int, M: int, G: int, iters: int, substeps: int, mu: float,
-    Np: int, interpret: bool = False, BN: int = 512,
+    Np: int, interpret: bool = False, BN: int = 512, lam0=None,
 ):
     """Iteration loop over pre-packed lane-layout tables (row-padded to a
-    BN multiple). ``vw0``: (Np_pad, 8). Returns (v, w) unpadded."""
+    BN multiple). ``vw0``: (Np_pad, 8). Returns (v, w, wake, lam) unpadded
+    — lam is the (Np, C, 3) accumulated [λn, λu, λv] impulse state (zeros
+    when ``lam0`` is None, i.e. the per-iteration non-accumulated mode)."""
     C = K * M + G
     Np_pad = vw0.shape[0]
     P3 = rA_p.shape[1]
     P2 = mt_p.shape[1]
+    PL = ((3 * C + 127) // 128) * 128
     K6p = ((8 * K + 127) // 128) * 128
 
     S = max(1, substeps)
@@ -147,17 +219,25 @@ def solve_packed(
     bs = lambda cols: pl.BlockSpec(
         (BN, cols), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    warm = lam0 is not None
     kernel = functools.partial(
-        _solver_iter_kernel, K=K, M=M, G=G, C=C, S=S, mu=mu
+        _solver_iter_kernel, K=K, M=M, G=G, C=C, S=S, mu=mu, warm=warm
     )
+    lam_p = jnp.zeros((Np_pad, PL), jnp.float32)
+    if warm:
+        # lam0: (Np, C, 3) matched warm accumulators [λn, λu, λv].
+        lam_p = lam_p.at[:Np, 0:C].set(lam0[..., 0])
+        lam_p = lam_p.at[:Np, C : 2 * C].set(lam0[..., 1])
+        lam_p = lam_p.at[:Np, 2 * C : 3 * C].set(lam0[..., 2])
 
-    def one_iter(vw8, _):
+    def one_iter(carry, _):
+        vw8, lam = carry
         # vw8 stays padded across iterations. Partner gather in XLA (column
         # 6 carries the wake flag, column 7 rides as zero padding).
         # Layout (Np, 8K): [vx_pairs | vy | vz | wx | wy | wz | wake | 0].
         pvw = jnp.transpose(vw8[pb], (0, 2, 1)).reshape(Np, 8 * K)
         pvw_p = jnp.pad(pvw, ((0, Np_pad - Np), (0, K6p - 8 * K)))
-        out = pl.pallas_call(
+        out, lam_out = pl.pallas_call(
             kernel,
             grid=grid,
             compiler_params=pltpu.CompilerParams(
@@ -167,18 +247,29 @@ def solve_packed(
             ),
             in_specs=[
                 bs(8), bs(K6p), bs(P3), bs(P3), bs(P3),
-                bs(P2), bs(P2), bs(8), bs(16),
+                bs(P2), bs(P2), bs(8), bs(16), bs(PL),
             ],
-            out_specs=bs(8),
-            out_shape=jax.ShapeDtypeStruct((Np_pad, 8), jnp.float32),
+            out_specs=[bs(8), bs(PL)],
+            out_shape=[
+                jax.ShapeDtypeStruct((Np_pad, 8), jnp.float32),
+                jax.ShapeDtypeStruct((Np_pad, PL), jnp.float32),
+            ],
             interpret=interpret,
         )(
-            vw8, pvw_p, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
+            vw8, pvw_p, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p, lam,
         )
-        return out, None
+        return (out, lam_out), None
 
-    vw, _ = jax.lax.scan(one_iter, vw0, None, length=outer)
-    return vw[:Np, 0:3], vw[:Np, 3:6], vw[:Np, 6] > 0.5
+    (vw, lam_f), _ = jax.lax.scan(one_iter, (vw0, lam_p), None, length=outer)
+    lam_out = jnp.stack(
+        [
+            lam_f[:Np, 0:C],
+            lam_f[:Np, C : 2 * C],
+            lam_f[:Np, 2 * C : 3 * C],
+        ],
+        axis=-1,
+    )                                                   # (Np, C, 3)
+    return vw[:Np, 0:3], vw[:Np, 3:6], vw[:Np, 6] > 0.5, lam_out
 
 
 @functools.partial(
@@ -242,8 +333,9 @@ def solve_contacts_pallas(
         ),
         ((0, Np_pad - Np), (0, 0)),
     )
-    return solve_packed(
+    v, w, wake, _lam = solve_packed(
         vw0, pb, rA_p, rB_p, n_p, mt_p, hs_p, scale, iAI_p,
         K=K, M=M, G=G, iters=iters, substeps=substeps, mu=mu,
         Np=Np, interpret=interpret, BN=BN,
     )
+    return v, w, wake

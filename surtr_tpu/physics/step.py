@@ -562,7 +562,7 @@ def _physics_step_body(
             )
         packed_p = pack_pieces(parts_p, Vh, Fp, nEd)           # (Np, D)
 
-        pc_n, _depth, _pair_hit, mpts, mvals, mhit = (
+        pc_n, _depth, _pair_hit, mpts, mvals, mhit, _mfid = (
             narrowphase_pairs_pallas(
                 packed_p, pidx, pok,
                 Vh=Vh, F=Fp, Ne=nEd, K=K, M=M, slop=cfg.contact_slop,
@@ -823,11 +823,12 @@ def _fused_prep_solve(
             )                                              # (count, K, Np_pad)
             return sub.reshape(count * K, Np_pad).T[:Np]
 
-        px = slot_rows(7, 5, M)
-        py = slot_rows(8, 5, M)
-        pz = slot_rows(9, 5, M)
-        val = slot_rows(5, 5, M)
-        mh = slot_rows(6, 5, M)
+        px = slot_rows(7, 6, M)
+        py = slot_rows(8, 6, M)
+        pz = slot_rows(9, 6, M)
+        val = slot_rows(5, 6, M)
+        mh = slot_rows(6, 6, M)
+        fid = slot_rows(10, 6, M).astype(jnp.int32)        # (Np, M·K)
         pn3 = slot_rows(0, 1, 3)                           # (Np, 3K)
         pt3 = jnp.concatenate(
             [px, g_pts[..., 0], py, g_pts[..., 1], pz, g_pts[..., 2]],
@@ -888,15 +889,43 @@ def _fused_prep_solve(
     if profile_stage == 35:  # contact prep only (solver loop excluded)
         packed = prep_contacts_pallas(pt3, dh, pn3, btf, own, **kw)
         return _stage_out(scene, *packed[:7])
-    v1, w1, wake, vn0, hit, stat = prep_and_solve(
+    lam0 = None
+    if cfg.warm_start:
+        # Warm-impulse matching: previous (partner, feature) → current
+        # slot. One dense (Np, M, K, M', K') compare-contract — ~10 M
+        # elements at 10k bodies, no gathers.
+        wp = scene.warm_pair                               # (Np, K')
+        wf = scene.warm_fid.reshape(Np, M, K)              # (Np, M', K')
+        wl = scene.warm_lam.reshape(Np, M, K, 3)
+        fidc = fid.reshape(Np, M, K)
+        pm_ = (pidx[:, :, None] == wp[:, None, :]) & (wp >= 0)[:, None, :]
+        fm = (
+            fidc[:, :, :, None, None] == wf[:, None, None, :, :]
+        ) & (fidc > 0)[:, :, :, None, None]
+        sel = (fm & pm_[:, None, :, None, :])[..., None]
+        lam_warm = jnp.sum(
+            jnp.where(sel, wl[:, None, None], 0.0), axis=(3, 4)
+        )                                                  # (Np, M, K, 3)
+        lam0 = jnp.concatenate(
+            [
+                lam_warm.reshape(Np, M * K, 3),
+                jnp.zeros((Np, G, 3), f32),
+            ],
+            axis=1,
+        )
+    v1, w1, wake, lam, vn0, hit, stat = prep_and_solve(
         pt3, dh, pn3, btf, own, pidx, v0, w0,
-        _wake_seed(v0, w0, bodies.active, cfg),
+        _wake_seed(v0, w0, bodies.active, cfg), lam0,
         iters=cfg.solver_iters, substeps=max(1, cfg.solver_substeps),
         mu=cfg.dynamic_friction, **kw,
     )
+    warm_state = None
+    if cfg.warm_start:
+        warm_state = (pidx, fid, lam[:, : M * K].reshape(Np, M * K * 3))
     return _finish_step(
         scene, bodies, v1, w1, dt, cfg, profile_stage,
         vn0, hit, stat, True, owner, pidx=pidx, wake_prop=wake,
+        warm_state=warm_state,
     )
 
 
@@ -1176,6 +1205,7 @@ def _wake_seed(v0, w0, active, cfg):
 def _finish_step(
     scene, bodies, v1, w1, dt, cfg, profile_stage,
     vn0, hit, is_static, single, myb, pidx=None, wake_prop=None,
+    warm_state=None,
 ):
     """Sleep bookkeeping + stage-5 integration."""
     if profile_stage <= 4:
@@ -1277,10 +1307,14 @@ def _finish_step(
     else:
         push_frames = scene.push_frames
 
-    return _integrate(scene, bodies, v1, w1, dt, sleep_frames, push_frames)
+    return _integrate(
+        scene, bodies, v1, w1, dt, sleep_frames, push_frames, warm_state
+    )
 
 
-def _integrate(scene, bodies, v1, w1, dt, sleep_frames, push_frames):
+def _integrate(
+    scene, bodies, v1, w1, dt, sleep_frames, push_frames, warm_state=None
+):
     """Stage 5: symplectic Euler + quaternion renormalization."""
     import dataclasses
 
@@ -1296,7 +1330,16 @@ def _integrate(scene, bodies, v1, w1, dt, sleep_frames, push_frames):
         inv_inertia_body=bodies.inv_inertia_body,
         active=act,
     )
+    extra = {}
+    if warm_state is not None:
+        # Persist the accumulated impulses keyed by (partner, feature) for
+        # next step's warm start (PhysX persistent-manifold analogue).
+        extra = dict(
+            warm_pair=warm_state[0],
+            warm_fid=warm_state[1],
+            warm_lam=warm_state[2],
+        )
     return dataclasses.replace(
         scene, bodies=new_bodies, sleep_frames=sleep_frames,
-        push_frames=push_frames,
+        push_frames=push_frames, **extra,
     )

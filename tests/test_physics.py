@@ -546,3 +546,41 @@ def test_all_asleep_step_is_identity():
         assert np.array_equal(
             np.asarray(getattr(s.bodies, f)), np.asarray(getattr(s2.bodies, f))
         ), f
+
+
+def test_warm_start_stack_holds_at_four_iters():
+    """Warm-started accumulated PGS (PhysX persistent-manifold analogue):
+    a 5-high stack at solver_iters=4 / substeps=1 — HALF the cold budget —
+    must hold its HEIGHTS tightly (measured y-err 0.015 vs 0.132 for the
+    cold form at 4/1: the carried normal impulses resolve penetration the
+    4 iterations alone cannot). Lateral drift is the accumulated form's
+    measured weakness (~7-13 cm over 5 s from the friction cone's
+    path-dependence under Jacobi — see ROADMAP round-4 notes; the cold
+    8/2 default stays at 0 drift), so the band here is a tripwire at
+    0.15, not the 1 cm default-config bar."""
+    import dataclasses
+
+    cfg = PhysicsConfig(
+        broadphase_block=64,
+        single_piece_bodies=True,
+        max_hull_verts=16,
+        pallas_narrowphase=True,
+        force_pallas_narrowphase=True,
+        force_pallas_solver=True,
+        fused_prep=True,
+        warm_start=True,
+        solver_iters=4,
+        solver_substeps=1,
+    )
+    offsets = [[0, -1.45 + 1.02 * i, 0] for i in range(5)]
+    s = build_scene(make_pieces(offsets, list(range(5))), cfg)
+    step = jax.jit(lambda s: physics_step(s, cfg))
+    for _ in range(600):
+        s = step(s)
+    ys = np.asarray(s.bodies.x[:5, 1])
+    xs = np.asarray(s.bodies.x[:5, 0])
+    zs = np.asarray(s.bodies.x[:5, 2])
+    for i in range(5):
+        assert abs(ys[i] - (-1.5 + 1.0 * i)) < 0.05, ys
+    assert np.all(np.abs(xs) < 0.15), xs
+    assert np.all(np.abs(zs) < 0.15), zs
