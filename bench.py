@@ -119,7 +119,18 @@ def bench_decomposition_1k(cfg_overrides=None):
 
     ms = timeit(run_many, keys) / REP
     valid, vol = run(key)
-    return ms, int(jax.device_get(valid).sum()), float(vol)
+    vol = float(vol)
+    # approx_max_k honesty (VERDICT r3 item 7): this config's cells must
+    # tile the F=26 capacity-clipped ACH exactly (27.0049, pinned in
+    # tests/test_tiling.py). A missed near bisector DUPLICATES volume, so
+    # this asserts the 0.99-recall top-k ON THE BACKEND THAT USES IT —
+    # the CPU suite lowers approx_max_k to exact and cannot see a miss.
+    if abs(vol - 27.005) > 0.05:
+        raise AssertionError(
+            f"decomp_1k cell volumes do not tile the ACH: {vol:.4f} vs "
+            "27.005 — approx_max_k recall miss or capacity regression"
+        )
+    return ms, int(jax.device_get(valid).sum()), vol
 
 
 def bench_decomposition_1k_model(name="pumpkin"):

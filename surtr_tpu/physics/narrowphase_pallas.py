@@ -260,7 +260,10 @@ def _narrow_kernel(
     # depths jitter. Warm starting matches accumulated impulses by
     # (partner body, feature), so slot permutation noise cannot re-apply
     # an impulse to the wrong point (ROADMAP rejection 2's failure mode).
-    ridx = 1.0 + jax.lax.broadcasted_iota(f32, (2 * Vh, Q), 0)
+    # tpu.iota is integer-only — build the row index in i32 and cast.
+    ridx = 1.0 + jax.lax.broadcasted_iota(
+        jnp.int32, (2 * Vh, Q), 0
+    ).astype(f32)
     for _ in range(M):
         mx = jnp.max(sc, axis=0, keepdims=True)
         best = _first_true_rows(sc >= mx).astype(f32)
@@ -309,7 +312,9 @@ def _narrow_kernel(
     # Fallback feature: the (i-vert, j-vert) support pair, offset past the
     # containment range (2Vh + i·Vh + j + 1 ≤ 2Vh + Vh² + Vh — exact in f32
     # for Vh ≤ 64).
-    riv = 1.0 + jax.lax.broadcasted_iota(f32, (Vh, Q), 0)
+    riv = 1.0 + jax.lax.broadcasted_iota(
+        jnp.int32, (Vh, Q), 0
+    ).astype(f32)
     fid_fb = (
         2.0 * Vh
         + jnp.sum(fi * (riv - 1.0), 0, keepdims=True) * Vh
