@@ -1,6 +1,14 @@
 """Banded-Morton fused contact solver: ALL Jacobi iterations in ONE Pallas
 launch.
 
+QUARANTINED EXPERIMENT — off by default (``PhysicsConfig.banded_solver``),
+measured-out in round 3 (16.7 ms vs 10 at 10k: the in-kernel one-hot partner
+reconstruction wastes 94% of the MXU tile and the input permute exceeds the
+per-iteration gathers it saves — ROADMAP rejection 1). Kept, with its parity
+test, as the starting point for the wide-output reconstruction / sorted-
+native-narrowphase revival path; round 4's warm-start work went a different
+route (accumulated PGS, see step.py) and did NOT revive this kernel.
+
 The round-2 solver (``solver_pallas.py``) fused one iteration per kernel but
 re-gathered partner velocities in XLA between launches — ~0.9 ms gather +
 ~0.9 ms launch per outer iteration at 10k bodies (the dispatch/gather floor
