@@ -299,22 +299,32 @@ class PhysicsConfig:
                                    # predicate instead of a full step
 
     broadphase_block: int = 512    # row-block size for the k-nearest sweep
-    broadphase: str = "auto"       # "sorted" = Morton-window sweep (O(N·W),
-                                   #   ~1.8 ms at 10k; misses spatial
-                                   #   neighbors > window apart in Morton
-                                   #   order — a measured 20-30% of exact
-                                   #   top-K pairs on dense piles);
-                                   # "grid"   = uniform-grid buckets: FULL
+    broadphase: str = "auto"       # "exact_pallas" = fused sweep-and-prune,
+                                   #   GUARANTEED FULL RECALL (the PhysX
+                                   #   no-missed-pairs contract), ~0.4 ms at
+                                   #   10k (TPU; piece ids pack into the
+                                   #   selection keys — see
+                                   #   broadphase_pallas.MAX_EXACT_NP);
+                                   # "sorted" = Morton-window sweep (O(N·W);
+                                   #   misses spatial neighbors > window
+                                   #   apart in Morton order — a measured
+                                   #   20-30% of exact top-K pairs on dense
+                                   #   piles);
+                                   # "grid"   = uniform-grid buckets: full
                                    #   recall up to broadphase_bucket_cap
-                                   #   pieces per probed cell (misses only
-                                   #   on bucket overflow — the observable-
-                                   #   cap policy; ~20 ms at 10k: XLA TPU
-                                   #   row gathers dominate);
-                                   # "exact"  = blocked all-pairs
+                                   #   pieces per probed cell (~20 ms at
+                                   #   10k: XLA TPU row gathers dominate);
+                                   # "exact"  = blocked all-pairs XLA sweep
                                    #   (O(N²/block), 5.7 ms at 10k);
-                                   # "auto"   = exact when the piece pool
-                                   #   fits one sweep block (small scenes,
-                                   #   where exact is cheap), sorted above
+                                   # "auto"   = FULL RECALL everywhere it
+                                   #   fits (step.py:_broadphase dispatch):
+                                   #   XLA exact when the pool fits one
+                                   #   sweep block, the Pallas exact sweep
+                                   #   up to MAX_EXACT_NP pieces on TPU,
+                                   #   and Morton-window sorted only beyond
+                                   #   that — with a loud trace-time
+                                   #   RecallDegradedWarning, since the
+                                   #   window sweep can miss pairs
     broadphase_window: int = 32    # sorted-order neighbors tested per side
     broadphase_bucket_cap: int = 8 # grid: members tested per probed cell
                                    # (27 cells ⇒ ≤ 216 exact AABB tests

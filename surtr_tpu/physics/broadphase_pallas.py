@@ -206,10 +206,21 @@ def broadphase_sorted_pallas(
 
 _IMAX = 0x7FFFFFFF  # plain int: a jnp scalar would be a captured const
 
+# Largest piece pool the exact sweep accepts. Selection keys are
+# (quantized d² << id_bits | piece id) in 31 bits; id_bits grows with the
+# pool (14 at ≤16k pieces, 16 at 64k) and the d² quantizer gives up the
+# bits the ids take. Key UNIQUENESS (the property the in-kernel top-K
+# merge needs) comes from the id field, so recall stays exact at every
+# size — only the "nearest"-K tie-breaking coarsens. Past this cap the
+# (Np, 16) f32 piece table (64 B/piece) stops fitting VMEM comfortably
+# and step.py's "auto" falls back to the Morton window WITH a
+# RecallDegradedWarning.
+MAX_EXACT_NP = 65536
+
 
 def _bp_exact_kernel(
     rng_ref, packT_ref, packR_ref, cab_ref, pidx_ref, pok_ref, th_ref,
-    *, K, CH
+    *, K, CH, ID_BITS
 ):
     """One 128-piece block (lanes) vs its sweep range of CH-piece chunks.
 
@@ -218,7 +229,7 @@ def _bp_exact_kernel(
     contiguous chunk range [rng[0], rng[1]) precomputed host-side from
     monotone interval envelopes (see broadphase_exact_pallas). Every
     candidate in range gets the exact 3-D AABB test; the K nearest survive
-    per piece. Selection uses UNIQUE i32 keys (quantized d² << 14 | ORIGINAL
+    per piece. Selection uses UNIQUE i32 keys (quantized d² << ID_BITS | ORIGINAL
     piece id), so top-K extraction is K cheap sublane min-reductions with
     equality mask-out — no sorts, no cumsums, no gathers — and the selected
     ids need no rank→orig decode afterwards. A scalar 3-D chunk-AABB guard
@@ -248,7 +259,8 @@ def _bp_exact_kernel(
     blo_u = [jnp.min(jnp.where(bval, blo[a : a + 1], big)) for a in range(3)]
     bhi_u = [jnp.max(jnp.where(bval, bhi[a : a + 1], -big)) for a in range(3)]
 
-    QS = jnp.float32(131071.0 / 3.0)
+    QMAX = float((1 << (31 - ID_BITS)) - 1)  # d² quantizer ceiling
+    QS = jnp.float32(QMAX / 3.0)             # normalized centers ⇒ d² ≤ 3
     pidx_ref[:] = jnp.full((K, 128), _IMAX, jnp.int32)
 
     def body(ch, _):
@@ -280,9 +292,13 @@ def _bp_exact_kernel(
                 & (rown != bown)
                 & (rorig != borig)
             )
-            q = jnp.minimum(d2 * QS, 131071.0).astype(jnp.int32)
+            q = jnp.minimum(d2 * QS, QMAX).astype(jnp.int32)
             oid = rorig.astype(jnp.int32)
-            keys = jnp.where(ok, (q << 14) | (oid & 16383), jnp.int32(_IMAX))
+            keys = jnp.where(
+                ok,
+                (q << ID_BITS) | (oid & ((1 << ID_BITS) - 1)),
+                jnp.int32(_IMAX),
+            )
 
             # Merge into the running best-K: K min-passes over the
             # (K + CH, 128) stack with equality mask-out (keys unique).
@@ -323,8 +339,9 @@ def broadphase_exact_pallas(
     highs, suffix-min of lows), computed host-side with two searchsorteds.
     Every in-range candidate still gets the exact 3-D AABB test, so recall
     is exact for ANY ordering; the sort only bounds the work (dense piles:
-    ~10 of ~80 chunks per block vs the O(N²) full sweep). Np ≤ 16384 (ids
-    pack into 14 key bits); larger pools use the sorted/grid paths.
+    ~10 of ~80 chunks per block vs the O(N²) full sweep). Np ≤ MAX_EXACT_NP
+    (ids pack into 14-16 key bits, sized to the pool); larger pools use the
+    sorted/grid paths — step.py warns when "auto" degrades there.
 
     Returns (pidx (Np, K), pok (Np, K), (key_ji (Np, K) i32, theta (Np,)
     i32)) in ORIGINAL order. pok is NOT mutual-masked; mutuality is
@@ -333,7 +350,12 @@ def broadphase_exact_pallas(
     applies it inline on cold paths.
     """
     Np = centers.shape[0]
-    assert Np <= 16384, "piece ids pack into 14 key bits"
+    assert Np <= MAX_EXACT_NP, (
+        f"exact sweep accepts Np <= {MAX_EXACT_NP} (VMEM piece table); "
+        "use broadphase='sorted'/'grid' beyond"
+    )
+    ID_BITS = max(14, (max(Np, 2) - 1).bit_length())  # ids 0..Np-1 unique
+    ID_MASK = (1 << ID_BITS) - 1
     f = centers.dtype
     big = jnp.asarray(BIG, f)
 
@@ -420,7 +442,7 @@ def broadphase_exact_pallas(
         [jnp.minimum(lo_ch, NCH), jnp.minimum(hi_ch, NCH)], axis=1
     ).astype(jnp.int32)                                  # (NB, 2)
 
-    kernel = functools.partial(_bp_exact_kernel, K=K, CH=CH)
+    kernel = functools.partial(_bp_exact_kernel, K=K, CH=CH, ID_BITS=ID_BITS)
     keysT, pokT, thT = pl.pallas_call(
         kernel,
         grid=(NB,),
@@ -454,13 +476,13 @@ def broadphase_exact_pallas(
     keys = keysT.T[:Np][inv]                             # (Np, K) i32 keys
     pok = (pokT.T[:Np] > 0)[inv]
     theta = thT[0][:Np][inv]                             # (Np,)
-    pidx = keys & 16383                                  # orig ids directly
+    pidx = keys & ID_MASK                                # orig ids directly
 
-    # Mutual: j selected i ⇔ (q(d²) << 14 | i) ≤ θ_j. q is symmetric, so
-    # key_ji comes straight off the own-side key; the θ_j gather is left
+    # Mutual: j selected i ⇔ (q(d²) << ID_BITS | i) ≤ θ_j. q is symmetric,
+    # so key_ji comes straight off the own-side key; the θ_j gather is left
     # to the caller (it rides the narrowphase partner gather).
     me = jnp.arange(Np, dtype=jnp.int32)[:, None]
-    key_ji = (keys & ~jnp.int32(16383)) | me
+    key_ji = (keys & ~jnp.int32(ID_MASK)) | me
     return pidx, pok, (key_ji, theta)
 
 

@@ -4,10 +4,14 @@
 One call = one fixed 1/120 s step, entirely on device:
   1. world hull transforms (VPU broadcast rotations) + per-piece 26-DOP
      support intervals,
-  2. Morton-window broadphase: sort by Morton code, test the ±window sorted
-     neighbors exactly (AABB), keep the K nearest — candidates come from
-     ROLLS of the sorted table, not gathers. Symmetrized to mutual lists.
-     (A blocked O(N²) exact sweep remains via cfg.broadphase="exact".)
+  2. broadphase, full recall by default (the PhysX no-missed-pairs
+     contract): "auto" picks the XLA exact block sweep for pools that fit
+     one block, the fused Pallas sweep-and-prune (broadphase_pallas.
+     broadphase_exact_pallas — exact 3-D AABB tests over a sorted sweep
+     range) up to MAX_EXACT_NP pieces on TPU, and only beyond that falls
+     back to the Morton-window sorted sweep — loudly, via a trace-time
+     RecallDegradedWarning, since the window sweep misses 20-30% of the
+     exact top-K pairs on dense piles. Symmetrized to mutual lists.
   3. narrowphase SAT over {26-DOP axes, faces of both hulls (via plane
      distances), edge×edge cross axes} + a containment manifold: up to M
      contact points per pair = each hull's vertices inside the other hull,
@@ -40,6 +44,11 @@ from surtr_tpu.physics.rigid import quat_integrate, quat_to_mat, world_inv_inert
 from surtr_tpu.physics.scene import PhysicsScene, piece_world_verts
 
 BIG = 3.4e38
+
+
+class RecallDegradedWarning(UserWarning):
+    """broadphase='auto' silently losing full recall would violate the PhysX
+    no-missed-pairs contract — this warning makes the fallback loud."""
 
 
 # ---------------------------------------------------------------------------
@@ -438,10 +447,13 @@ def _physics_step_body(
 
     # --- 2. broadphase, symmetrized (contact only when both sides list it).
     # "auto": FULL-RECALL everywhere it fits (the PhysX contract is "no
-    # missed pairs") — the fused Pallas exact sweep up to 16k pieces on
-    # TPU (round 4; the Morton window missed 20-30% of the exact top-8 on
-    # dense piles), the XLA exact block sweep for small pools, Morton-
-    # window sorted only beyond 16k.
+    # missed pairs") — the fused Pallas exact sweep up to MAX_EXACT_NP
+    # pieces on TPU (round 4; the Morton window missed 20-30% of the exact
+    # top-8 on dense piles), the XLA exact block sweep for small pools,
+    # Morton-window sorted only beyond that — LOUDLY (trace-time warning):
+    # silent recall loss is worse than a visible fidelity choice.
+    from surtr_tpu.physics.broadphase_pallas import MAX_EXACT_NP
+
     bp_mode = cfg.broadphase
     pallas_ok = cfg.pallas_broadphase and not cfg.banded_solver and (
         on_tpu or cfg.force_pallas_broadphase
@@ -449,9 +461,25 @@ def _physics_step_body(
     if bp_mode == "auto":
         if Np <= cfg.broadphase_block:
             bp_mode = "exact"
-        elif pallas_ok and Np <= 16384:
+        elif pallas_ok and Np <= MAX_EXACT_NP:
             bp_mode = "exact_pallas"
         else:
+            import warnings
+
+            warnings.warn(
+                f"broadphase='auto' with Np={Np} "
+                + (
+                    f"> MAX_EXACT_NP={MAX_EXACT_NP}"
+                    if pallas_ok
+                    else "and no Pallas broadphase available"
+                )
+                + ": falling back to the Morton-window sweep, which can "
+                "MISS 20-30% of exact top-K pairs on dense piles. Set "
+                "broadphase='sorted' explicitly to acknowledge, or "
+                "'grid'/'exact' for full recall at higher cost.",
+                RecallDegradedWarning,
+                stacklevel=2,
+            )
             bp_mode = "sorted"
     mutual_done = False
     bp_mut = None
