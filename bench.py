@@ -390,7 +390,7 @@ def bench_interactive_frame():
             voronoi_neighbors=48,
         ),
         physics=PhysicsConfig(),
-        render=RenderConfig(width=512, height=512, shadow_size=1024),
+        render=RenderConfig(width=512, height=512, shadow_size=512),
     )
     sc = Scene("cube", cfg)
     origin = jnp.asarray([0.0, 10.0, 0.0])

@@ -1333,6 +1333,14 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
     pairs are refined by an exact 2-D SAT overlap of the coplanar polygons
     (top-4 candidate partners per face), matching the reference's exact scan.
     Components then relabel ``group`` (flood fill, Surtr.cpp:2325-2352).
+
+    Layout: the candidate search runs at (P·F, P, F) with every term
+    elementwise and reduced over the partner-face axis INSIDE one fused
+    chain — a convex piece owns at most one real face on a given plane, so
+    "nearest opposite-coplanar face of partner j" is exact. The previous
+    all-pairs face table ((P·F)² ≈ 67M entries at the interactive-frame
+    pool) materialized a 268 MB einsum plus a same-size top_k input and
+    measured ~3.4 ms/event; this form peaks at (P·F, P) = 8 MB.
     """
     P, F = pieces.P, pieces.convex.F
     planes = pieces.convex.planes  # (P, F, 4)
@@ -1360,28 +1368,51 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
     owner = jnp.repeat(jnp.arange(P, dtype=jnp.int32), F)
     group = pieces.group[owner]
 
-    ndot = jnp.einsum(
-        "ik,jk->ij", n_flat, n_flat, precision=jax.lax.Precision.HIGHEST
+    # Best (nearest) opposite-coplanar-near face of EACH partner piece, per
+    # flat face: a fused (pf, P, F) elementwise chain min-reduced over the
+    # partner-face axis (never materialized).
+    nj = planes[..., :3]                                    # (P, F, 3)
+    dj = planes[..., 3]                                     # (P, F)
+    rj = jnp.sqrt(r2)
+    ndot = (
+        n_flat[:, None, None, 0] * nj[None, ..., 0]
+        + n_flat[:, None, None, 1] * nj[None, ..., 1]
+        + n_flat[:, None, None, 2] * nj[None, ..., 2]
+    )                                                       # (pf, P, F)
+    opp = jnp.abs(ndot + 1.0) < 1e-4
+    cop = jnp.abs(d_flat[:, None, None] + dj[None]) < eps
+    cd2 = (
+        (c_flat[:, None, None, 0] - cent[None, ..., 0]) ** 2
+        + (c_flat[:, None, None, 1] - cent[None, ..., 1]) ** 2
+        + (c_flat[:, None, None, 2] - cent[None, ..., 2]) ** 2
     )
-    opposite = jnp.abs(ndot + 1.0) < 1e-4
-    coplanar = jnp.abs(d_flat[:, None] + d_flat[None, :]) < eps
-    cdist2 = jnp.sum((c_flat[:, None] - c_flat[None]) ** 2, axis=-1)
-    near = cdist2 <= (r_flat[:, None] + r_flat[None] + eps) ** 2
-    same_group = group[:, None] == group[None, :]
-    diff_piece = owner[:, None] != owner[None, :]
-    touch = (
-        opposite & coplanar & near & same_group & diff_piece
-        & m_flat[:, None] & m_flat[None, :]
-    )
+    near_g = cd2 <= (r_flat[:, None, None] + rj[None] + eps) ** 2
+    score_g = jnp.where(
+        opp & cop & near_g & fmask[None], cd2, BIG
+    )                                                       # (pf, P, F)
+    bdist = jnp.min(score_g, axis=-1)                       # (pf, P)
+    bface = jnp.argmin(score_g, axis=-1).astype(jnp.int32)  # (pf, P)
+
+    pidx_all = jnp.arange(P, dtype=jnp.int32)
+    pair_ok = (
+        (bdist < BIG / 2)
+        & (group[:, None] == pieces.group[None, :])
+        & (owner[:, None] != pidx_all[None, :])
+        & m_flat[:, None]
+        & pieces.valid[None, :]
+    )                                                       # (pf, P)
 
     if exact:
         # Refine sphere-passing pairs with an exact 2-D SAT overlap of the
-        # coplanar face polygons (top-4 candidates per face).
-        K4 = 4
+        # coplanar face polygons (top-4 candidate partner pieces per face;
+        # a convex partner contributes at most one opposite face on a
+        # plane, so partner-level top-4 covers the old face-level top-4).
+        K4 = min(4, P)
         S = pieces.convex.S
-        score = jnp.where(touch, -cdist2, -BIG)
-        _, cand = jax.lax.top_k(score, K4)                  # (pf, K4)
-        cmask = jnp.take_along_axis(touch, cand, axis=1)
+        score = jnp.where(pair_ok, -bdist, -BIG)            # (pf, P)
+        _, candp = jax.lax.top_k(score, K4)                 # (pf, K4)
+        cmask = jnp.take_along_axis(pair_ok, candp, axis=1)
+        cand = candp * F + jnp.take_along_axis(bface, candp, axis=1)
         fv_flat = pieces.convex.face_verts.reshape(pf, S, 3)
         nv_flat = pieces.convex.n_verts.reshape(pf)
 
@@ -1425,12 +1456,9 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
 
         exact_ok = jax.vmap(pair_overlap)(jnp.arange(pf)) & cmask
         # Face-pair → piece-level adjacency, scatter-free: piece adj via
-        # per-face one-hot owner contraction over the K4 candidate slots.
-        pj = owner[cand]                                    # (pf, K4)
-        hit_f = jnp.any(exact_ok, axis=1)
-        # adj[pi, pj] |= exact_ok — via max over faces of one-hot products.
+        # per-face one-hot partner contraction over the K4 candidate slots.
         oh_j = jax.nn.one_hot(
-            jnp.where(exact_ok, pj, P), P + 1, dtype=jnp.float32
+            jnp.where(exact_ok, candp, P), P + 1, dtype=jnp.float32
         )[..., :P]                                          # (pf, K4, P)
         contrib = jnp.max(oh_j, axis=1)                     # (pf, P)
         adjf = jax.ops.segment_max(
@@ -1439,7 +1467,7 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
         adj = adjf > 0.5
     else:
         # Face-level contact → piece-level adjacency.
-        adj = jnp.any(touch.reshape(P, F, P, F), axis=(1, 3))
+        adj = jnp.any(pair_ok.reshape(P, F, P), axis=1)
 
     comp = adjacency_components(adj, pieces.valid)  # (P,) min reachable index
 

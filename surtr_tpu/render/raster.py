@@ -129,7 +129,10 @@ def _use_pallas_default() -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("W", "H", "tile_rows", "tri_block", "use_pallas")
+    jax.jit,
+    static_argnames=(
+        "W", "H", "tile_rows", "tri_block", "use_pallas", "ortho"
+    ),
 )
 def rasterize_ids(
     tris_world: jax.Array,
@@ -140,14 +143,23 @@ def rasterize_ids(
     tile_rows: int = 32,
     tri_block: int = 512,
     use_pallas: bool | None = None,
+    ortho: bool = False,
 ):
     """Z-buffer rasterization with near-plane clipping. Returns
     (depth (H, W), tri_id (H, W) i32 in the CALLER's triangle order;
-    -1 = background)."""
+    -1 = background).
+
+    ``ortho``: the projection has w ≡ 1 (directional-light shadow pass) —
+    the near clip is then the identity, so skip it and keep the raster in
+    the T domain instead of 2T (halves the shadow pass's sort/binning/glue).
+    """
     T = tris_world.shape[0]
     clip = _project(tris_world, mvp)
-    clip2, ok2 = near_clip(clip, valid)
-    sx, sy, sz, inv_w = _screen(clip2, W, H)           # (2T, 3) each
+    if ortho:
+        clip2, ok2 = clip, valid
+    else:
+        clip2, ok2 = near_clip(clip, valid)
+    sx, sy, sz, inv_w = _screen(clip2, W, H)           # (2T or T, 3) each
     depth, tid = raster_screen(
         sx, sy, sz, ok2, W, H,
         tile_rows=tile_rows, tri_block=tri_block, use_pallas=use_pallas,
@@ -380,9 +392,10 @@ def render_scene(
     bias = 2e-3 if cfg is None else cfg.depth_bias
     T = tris_world.shape[0]
 
-    # Pass 1: shadow depth (directional light, ortho: w ≡ 1, no clipping).
+    # Pass 1: shadow depth (directional light, ortho: w ≡ 1, so the near
+    # clip is skipped — the raster stays in the T domain, not 2T).
     sdepth, _ = rasterize_ids(
-        tris_world, valid, light_vp, shadow_size, shadow_size
+        tris_world, valid, light_vp, shadow_size, shadow_size, ortho=True
     )
     # Pass 2: camera depth + ids, in the near-clipped 2T domain so partial
     # triangles shade correctly (the clipped sub-triangle's own vertices

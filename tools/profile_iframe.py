@@ -62,7 +62,7 @@ def main():
             voronoi_neighbors=48,
         ),
         physics=PhysicsConfig(),
-        render=RenderConfig(width=512, height=512, shadow_size=1024),
+        render=RenderConfig(width=512, height=512, shadow_size=512),
     )
     sc = Scene("cube", cfg)
     origin = jnp.asarray([0.0, 10.0, 0.0])
@@ -70,6 +70,15 @@ def main():
     eye = jnp.asarray([8.0, 6.0, 8.0], jnp.float32)
     target = jnp.asarray([0.0, 1.0, 0.0], jnp.float32)
     fcfg, pcfg = cfg.fracture, cfg.physics
+
+    def allsum(*trees):
+        """Fence EVERY leaf — truncating to one field lets XLA dead-code-
+        eliminate the rest of the stage and pollute the next delta."""
+        tot = jnp.float32(0)
+        for t in trees:
+            for leaf in jax.tree_util.tree_leaves(t):
+                tot = tot + jnp.sum(leaf).astype(jnp.float32)
+        return tot
 
     def stage_fn(stage):
         def one(pieces, phys, x0, c):
@@ -100,7 +109,7 @@ def main():
                 tag=jnp.where(baked.valid, baked.group, -1),
             )
             if stage == 0:
-                return jnp.sum(baked.convex.face_verts[::7, 0, 0, 0])
+                return allsum(baked)
             tmask = (
                 baked.valid & (baked.group >= 0)
                 & bt[jnp.clip(baked.group, 0, B - 1)]
@@ -110,19 +119,19 @@ def main():
                 partial=fcfg.partial_fracture,
             )
             if stage == 1:
-                return jnp.sum(pieces2.valid)
+                return allsum(pieces2)
             phys2 = build_scene(pieces2, pcfg)
             phys2 = _transfer_velocities(
                 phys2, phys, pieces2.group, pieces2.tag, pieces2.valid
             )
             if stage == 2:
-                return jnp.sum(phys2.bodies.x[::7, 0])
+                return allsum(phys2)
             phys3 = physics_step(phys2, pcfg)
             if stage == 3:
-                return jnp.sum(phys3.bodies.x[::7, 0])
+                return allsum(phys3, pieces2)
             world = _bake_pieces(pieces2, phys3, phys2.bodies.x)
             if stage == 4:
-                return jnp.sum(world.mesh[::17, 0, 0, 0])
+                return allsum(world, phys3)
             img = render_pieces_frame(
                 world, jnp.asarray(True), eye, target,
                 jnp.asarray([-0.4, -1.0, -0.3], jnp.float32),
