@@ -16,11 +16,13 @@ $(NATIVE): surtr_tpu/native/objloader.cpp
 
 # Tests run on the CPU backend with 8 virtual devices; PYTHONPATH is cleared
 # so the axon TPU plugin does not dial its relay for CPU-only runs.
+# `test` = the fast default (pytest.ini gates -m "not slow");
+# `test-all` = everything, including the model-scale/pile slow marks.
 test:
 	PYTHONPATH= python -m pytest tests/ -x -q
 
-test-fast:
-	PYTHONPATH= python -m pytest tests/ -x -q -m "not slow"
+test-all:
+	PYTHONPATH= python -m pytest tests/ -x -q -m ""
 
 bench:
 	python bench.py

@@ -1095,6 +1095,62 @@ def _pack_candidates(conv, mtris, mmask, valid, group, tag, vol, P, Tp, F, S):
     )
 
 
+def _pooled_job_mesh_clip(jmesh, jmmask, jcpl, jcpm, Tp: int):
+    """Clip each job's triangle pool by its own plane list via the pooled
+    soup-clip kernel (ops/soup_clip_pallas.py on TPU; clip_polys_by_rows
+    off-TPU), with lanes = ALL (job, tri) slots unpacked.
+
+    jmesh: (J, Tj, 3, 3); jmmask: (J, Tj); jcpl: (J, K, 4); jcpm: (J, K).
+    Returns (mtris (J, Tp, 3, 3), mmask (J, Tp), dropped) — the same
+    contract as the vmapped ``clip_trisoup`` path (fan order per job is tri
+    order; the in-plane drop rule context is per job, block-local inside
+    the kernel — the prepare pair pool's documented divergence).
+    """
+    from surtr_tpu.ops.clip_pallas import _target_is_tpu
+    from surtr_tpu.ops.linalg import pack_rows
+    from surtr_tpu.ops.mesh_clip import clip_polys_by_rows, fan_triangles
+    from surtr_tpu.ops.soup_clip_pallas import soup_clip_pooled_pallas
+
+    J, Tj = jmmask.shape
+    PC = J * Tj
+    pair_job = jnp.repeat(jnp.arange(J, dtype=jnp.int32), Tj)
+    pair_valid = jmmask.reshape(PC)
+    pair_tris = jmesh.reshape(PC, 3, 3)
+    pstart = jnp.arange(J + 1, dtype=jnp.int32) * Tj
+
+    if _target_is_tpu():
+        poly, nvp, mrun_drops = soup_clip_pooled_pallas(
+            pair_tris, pair_valid, pair_job, jcpl, jcpm
+        )
+    else:
+        poly, nvp, mrun_drops = clip_polys_by_rows(
+            pair_tris, pair_valid, jcpl[pair_job], jcpm[pair_job],
+            seg_starts=pstart, seg_id=pair_job,
+        )
+    fans, fcnt = fan_triangles(poly, nvp)                 # (PC, S, 3, 3)
+
+    # Per-job Tp clamp BEFORE the global pack (a pair emits only into its
+    # job's remaining budget — same bookkeeping as prepare's pair pool,
+    # with uniform contiguous runs so pstart is an iota).
+    cumf = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(fcnt)])
+    jobbase = cumf[pstart]                                # (J+1,)
+    off = cumf[:-1] - jobbase[pair_job]                   # (PC,)
+    allowed = jnp.clip(Tp - off, 0, fcnt)
+    fan_drop = jnp.sum(fcnt * pair_valid) - jnp.sum(allowed * pair_valid)
+    Sfan = fans.shape[1]
+    packed, _ftot = pack_rows(fans.reshape(PC, Sfan, 9), allowed, J * Tp)
+    cuma = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(allowed)])
+    fanbase = cuma[pstart]                                # (J+1,)
+    jobfan = fanbase[1:] - fanbase[:-1]                   # (J,) ≤ Tp
+    slot_t = jnp.arange(Tp, dtype=jnp.int32)
+    idx = jnp.clip(fanbase[:-1, None] + slot_t[None], 0, J * Tp - 1)
+    mmask = slot_t[None, :] < jobfan[:, None]
+    mtris = jnp.where(
+        mmask[..., None, None], packed[idx].reshape(J, Tp, 3, 3), 0.0
+    )
+    return mtris, mmask, fan_drop + mrun_drops
+
+
 # ----------------------------------------------------------------------------
 # do_fracture  (reference stack D)
 # ----------------------------------------------------------------------------
@@ -1209,9 +1265,19 @@ def do_fracture(
     jmmask = src_mmask[src_of] & jvalid[:, None]
     jcpl = cells.planes[cell_of]
     jcpm = cells.face_mask()[cell_of]
-    mtris, mmask, mdrop = jax.vmap(
-        lambda me, mm, pl, pm_: clip_trisoup(me, mm, pl, pm_, max_out=Tp)
-    )(jmesh, jmmask, jcpl, jcpm)
+    if cfg.mesh_pair_pool:
+        # Flat (job, tri) lanes through the pooled soup-clip kernel — the
+        # vmapped clip_trisoup is a K-plane XLA scan whose ~30 ops/plane of
+        # dispatch overhead dominated the fused interactive frame's
+        # fracture slice (same fix as prepare_fracture's pair pool; here
+        # the per-job pools are already small, so lanes stay UNPACKED).
+        mtris, mmask, mdrop = _pooled_job_mesh_clip(
+            jmesh, jmmask, jcpl, jcpm, Tp
+        )
+    else:
+        mtris, mmask, mdrop = jax.vmap(
+            lambda me, mm, pl, pm_: clip_trisoup(me, mm, pl, pm_, max_out=Tp)
+        )(jmesh, jmmask, jcpl, jcpm)
 
     if profile_stage <= 2:  # + mesh clip
         return _psum(conv, mtris, mmask, mdrop), None

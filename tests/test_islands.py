@@ -1,6 +1,7 @@
 """Mesh-island splitting inside do_fracture (CheckMeshIsland semantics)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -81,6 +82,7 @@ def test_disconnected_mesh_splits_into_islands():
     assert any(c < -1 for c in centers) and any(c > 1 for c in centers)
 
 
+@pytest.mark.slow
 def test_islands_disabled_keeps_single_piece():
     cfg_kwargs = dict(
         initial_decompose_cell_cnt=8,

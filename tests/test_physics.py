@@ -332,6 +332,7 @@ def test_pallas_narrowphase_matches_xla():
 
 
 
+@pytest.mark.slow
 def test_broadphase_sorted_vs_exact_on_dense_pile():
     """VERDICT r2 item 5: quantify the Morton-window approximation on a
     dense pile. The sorted sweep misses a measured ~20-30% of the exact
@@ -548,6 +549,7 @@ def test_all_asleep_step_is_identity():
         ), f
 
 
+@pytest.mark.slow
 def test_warm_start_stack_holds_at_four_iters():
     """Warm-started accumulated PGS (PhysX persistent-manifold analogue):
     a 5-high stack at solver_iters=4 / substeps=1 — HALF the cold budget —

@@ -90,6 +90,7 @@ def _capped_mesh_volume(pieces):
 
 
 @needs_assets
+@pytest.mark.slow
 def test_pumpkin_capped_mesh_volume_parity():
     """Near-convex model: the capped visual meshes must enclose the model
     volume almost exactly (measured 1.001× — PARITY.md divergence 1)."""

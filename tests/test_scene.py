@@ -6,25 +6,6 @@ import pytest
 
 from surtr_tpu.config import FractureConfig, PhysicsConfig, RenderConfig, SceneConfig
 from surtr_tpu.scene import Scene
-@pytest.fixture(autouse=True, scope="module")
-def _no_persistent_cache():
-    """The XLA:CPU serialize()/deserialize() of this module's large render
-    executables segfaults intermittently when the persistent compile cache
-    tries to store them (observed at tests/test_scene.py::render in three
-    full-suite runs, stack ending in compilation_cache
-    put/get_executable_and_time -> executable.serialize). Keep these
-    programs out of the on-disk cache; everything else stays cached."""
-    import jax
-    from jax._src import compilation_cache as _cc
-
-    _prev = jax.config.jax_compilation_cache_dir
-    jax.config.update("jax_compilation_cache_dir", None)
-    _cc.reset_cache()  # the enable flag alone does NOT stop reads/writes
-    yield
-    jax.config.update("jax_compilation_cache_dir", _prev)
-    _cc.reset_cache()
-
-
 CFG = SceneConfig(
     fracture=FractureConfig(
         initial_decompose_cell_cnt=12,
