@@ -924,7 +924,10 @@ def prepare_fracture(
     out = _finish_pieces(
         conv, mtris, mmask, cpl, cpm, solid_t, solid_m, mas, cfg,
         solid_grid=solid_grid,
+        profile_stage=profile_stage if 45 <= profile_stage <= 49 else 99,
     )
+    if 45 <= profile_stage <= 49:  # finish sub-profile: out is the fence
+        return out, None, None
     conv, mtris, mmask, cand_valid, cap_drop = out
     # mdrop may be per-cell (C,) on the non-pooled paths — collapse first.
     mdrop = jnp.sum(mdrop) + cap_drop
@@ -953,7 +956,7 @@ def prepare_fracture(
 
 def _finish_pieces(
     conv, mtris, mmask, cut_planes, cut_mask, solid_corners, solid_mask, mas,
-    cfg, solid_grid=None,
+    cfg, solid_grid=None, profile_stage: int = 99,
 ):
     """Shared tail of both fracture entry points: occupancy test, refit,
     cap generation. All inputs batched over candidates (leading axis);
@@ -984,6 +987,8 @@ def _finish_pieces(
             cent, solid_corners, solid_mask
         )
     cand_valid = ~conv.is_empty() & (has_tris | inside)
+    if profile_stage == 45:  # sub-profile: occupancy only
+        return _psum(conv, mtris, mmask, cand_valid)
 
     from surtr_tpu.ops.clip_pallas import _target_is_tpu
 
@@ -1033,7 +1038,11 @@ def _finish_pieces(
         slabs, slab_m = jax.vmap(
             lambda v, m: refit_planes(v, m, cfg.refitting_point_limit)
         )(pool, pool_m)
+    if profile_stage == 46:  # sub-profile: + pool build + refit planes
+        return _psum(conv, mtris, mmask, cand_valid, slabs, slab_m)
     conv2 = clip_planes_batch(conv, slabs, slab_m)
+    if profile_stage == 47:  # sub-profile: + refit clip fold
+        return _psum(conv2, mtris, mmask, cand_valid)
 
     if cfg.exact_caps:
         def caps_append(tris, tmask_, rows, ok):
@@ -1223,42 +1232,95 @@ def do_fracture(
     src_mmask = pieces.mesh_valid[sel] & sel_ok[:, None]
 
     # --- ApplyFracture: A × C grid clip (Surtr.cpp:2129-2146), flattened to
-    # one (A*C,) batched plane fold (Pallas VMEM kernel on TPU).
+    # one batched plane fold (Pallas VMEM kernel on TPU).
     N0 = A * C
-    src_rep = jax.tree_util.tree_map(
-        lambda a: jnp.repeat(a, C, axis=0), src_conv
-    )
-    cell_planes_t = jnp.tile(cells.planes, (A, 1, 1))
-    cell_pmask_t = jnp.tile(cells.face_mask(), (A, 1))
+    # Pre-fold job cull (partial mode): job (a, c) can be non-empty only if
+    # NO cell plane separates piece a's bounding sphere from cell c — exact,
+    # since the cell IS the intersection of its half-spaces (false keeps
+    # fold to empty as before; false drops are impossible). The clustered
+    # partial pattern leaves ~3% of the grid alive (cube32 measured 2.6%),
+    # so folding only a JPOOL pool cuts the batched fold ~4×. General mode
+    # keeps the full grid (wide patterns overlap many cells and the
+    # pre-cull's index-order overflow priority is worse than the post-fold
+    # volume-order compaction).
+    JPOOL = min(N0, max(256, N0 // 4)) if partial else N0
+    if JPOOL < N0:
+        fvs = src_conv.face_verts                          # (A, F, S, 3)
+        smA = src_conv.slot_mask()
+        cntA = jnp.maximum(jnp.sum(smA, axis=(1, 2)), 1)
+        centA = (
+            jnp.sum(jnp.where(smA[..., None], fvs, 0.0), axis=(1, 2))
+            / cntA[:, None]
+        )                                                  # (A, 3)
+        radA = jnp.sqrt(
+            jnp.max(
+                jnp.where(
+                    smA,
+                    jnp.sum((fvs - centA[:, None, None]) ** 2, -1),
+                    0.0,
+                ),
+                axis=(1, 2),
+            )
+        )                                                  # (A,)
+        distAC = (
+            jnp.sum(
+                cells.planes[None, :, :, :3] * centA[:, None, None, :], -1
+            )
+            + cells.planes[None, :, :, 3]
+        )                                                  # (A, C, F)
+        sepAC = jnp.any(
+            cells.face_mask()[None]
+            & (distAC > radA[:, None, None] + 1e-5 * mas),
+            axis=-1,
+        )
+        alive0 = (
+            sel_ok[:, None] & ~sepAC & ~cells.is_empty()[None]
+        ).reshape(N0)
+        score0 = jnp.where(
+            alive0, -jnp.arange(N0, dtype=jnp.float32), -BIG
+        )
+        _, jsel = jax.lax.top_k(score0, JPOOL)             # ascending index
+        jsel_ok = alive0[jsel]
+        precull_over = jnp.maximum(jnp.sum(alive0) - JPOOL, 0)
+    else:
+        jsel = jnp.arange(N0, dtype=jnp.int32)
+        jsel_ok = jnp.repeat(sel_ok, C)
+        precull_over = jnp.int32(0)
+    a_of = (jsel // C).astype(jnp.int32)
+    c_of = (jsel % C).astype(jnp.int32)
+    src_rep = jax.tree_util.tree_map(lambda a: a[a_of], src_conv)
+    cell_planes_t = cells.planes[c_of]
+    cell_pmask_t = cells.face_mask()[c_of]
     conv = clip_planes_batch(src_rep, cell_planes_t, cell_pmask_t)
-    # clip_poly_poly semantics: empty clipper → empty result.
-    cell_empty_t = jnp.tile(cells.is_empty(), (A,))
+    # clip_poly_poly semantics: empty clipper → empty result; culled or
+    # unselected jobs are empty too.
     conv = ConvexPoly(
         conv.face_verts,
-        jnp.where(cell_empty_t[:, None], 0, conv.n_verts),
+        jnp.where(jsel_ok[:, None], conv.n_verts, 0),
         conv.planes,
     )
 
-    if profile_stage <= 1:  # selection + A×C convex clip grid
+    if profile_stage <= 1:  # selection + pre-cull + convex clip grid
         return _psum(conv, src_mesh, src_mmask), None
 
-    # --- job compaction: the A×C grid is mostly DEAD after the convex fold
-    # (a clustered partial pattern leaves 2.6% of jobs non-empty on the
-    # cube32 bench) — keep the largest JCAP live jobs so the mesh clip,
-    # island labeling, and finish stages run on a small pool. Overflow
-    # drops the smallest fragments and is counted (the usual observable-cap
-    # policy). The general pattern spreads wide, so its cap is looser.
-    alive_job = ~conv.is_empty() & jnp.repeat(sel_ok, C)
-    JCAP = min(N0, max(128, N0 // (8 if partial else 2)))
+    # --- job compaction: the grid pool is mostly DEAD after the convex fold
+    # — keep the largest JCAP live jobs so the mesh clip, island labeling,
+    # and finish stages run on a small pool. Overflow drops the smallest
+    # fragments and is counted (the usual observable-cap policy). The
+    # general pattern spreads wide, so its cap is looser.
+    alive_job = ~conv.is_empty() & jsel_ok
+    JCAP = min(JPOOL, max(128, N0 // (8 if partial else 2)))
     volj, _ = moments(conv)
     scorej = jnp.where(alive_job, volj, -1.0)
     jtake = jnp.argsort(-scorej)[:JCAP]
     jvalid = alive_job[jtake]
     conv = jax.tree_util.tree_map(lambda a: a[jtake], conv)
-    cell_of = (jtake % C).astype(jnp.int32)
-    src_of = (jtake // C).astype(jnp.int32)
+    cell_of = c_of[jtake]
+    src_of = a_of[jtake]
     src_valid = jvalid
-    job_overflow = jnp.maximum(jnp.sum(alive_job) - JCAP, 0)
+    job_overflow = (
+        jnp.maximum(jnp.sum(alive_job) - JCAP, 0) + precull_over
+    )
 
     # Mesh clip on the live-job pool only.
     jmesh = src_mesh[src_of]
@@ -1306,10 +1368,14 @@ def do_fracture(
     cpmask_flat = cells.face_mask()[cell_of]
 
     # Occupancy / refit / caps against each candidate's *source piece* solid.
-    conv2, mtris2, mmask2, cand_valid, cap_drop = _finish_pieces(
+    out = _finish_pieces(
         conv, mtris, mmask, cplanes_flat, cpmask_flat,
         src_mesh[src_of], src_mmask[src_of], mas, cfg,
+        profile_stage=profile_stage,
     )
+    if 41 <= profile_stage <= 49:  # finish sub-profile: out is the fence
+        return out, None
+    conv2, mtris2, mmask2, cand_valid, cap_drop = out
     mdrop = jnp.sum(mdrop) + cap_drop
     cand_valid = cand_valid & src_valid
     if profile_stage <= 4:  # + finish (occupancy/refit/caps)

@@ -79,7 +79,10 @@ def main():
         1: "1 select+conv grid",
         2: "2 +mesh clip",
         3: "3 +islands",
-        4: "4 +finish",
+        45: "f1 occupancy",
+        46: "f2 +pool+refit planes",
+        47: "f3 +refit clip fold",
+        4: "4 +finish (full)",
         5: "5 +merge/pack",
         99: "6 full (+group split)",
     }
@@ -97,10 +100,16 @@ def main():
                     p, ctx, impact + c * 0, 0, cfg, partial=True,
                     profile_stage=_st,
                 )
-                s = out if _st < 99 else (
-                    jnp.sum(out.valid) + met["total_volume"]
-                )
-                return c + s.astype(jnp.float32), None
+                if _st < 99:
+                    s = out.astype(jnp.float32)
+                else:
+                    # Fence EVERY leaf — a partial fence lets XLA DCE the
+                    # pack gathers and under-measure the tail.
+                    s = jnp.float32(0)
+                    for leaf in jax.tree_util.tree_leaves(out):
+                        s = s + jnp.sum(leaf).astype(jnp.float32)
+                    s = s + met["total_volume"]
+                return c + s, None
 
             return jax.lax.scan(body, jnp.float32(0), jnp.arange(REP))[0]
 
