@@ -1070,7 +1070,13 @@ def _finish_pieces(
         )
         cap_dropped = cap_dropped + jnp.sum(app_drop)
 
-    # Invalidate empties.
+    # Invalidate empties — including pieces whose convex the refit clip
+    # itself collapsed (a sliver's refit slabs can be mutually exclusive):
+    # cand_valid was computed on the PRE-refit conv, and a valid piece with
+    # an empty hull becomes a zero-mass static body that swallows every
+    # scene-query ray at t=0 (measured: 14 phantom pieces after one
+    # interactive-frame event froze all subsequent scripted impacts).
+    cand_valid = cand_valid & ~conv2.is_empty()
     nv = jnp.where(cand_valid[:, None], conv2.n_verts, 0)
     conv2 = ConvexPoly(conv2.face_verts, nv, conv2.planes)
     mmask2 = mmask2 & cand_valid[:, None]
@@ -1107,13 +1113,25 @@ def _pack_candidates(conv, mtris, mmask, valid, group, tag, vol, P, Tp, F, S):
 def _pooled_job_mesh_clip(jmesh, jmmask, jcpl, jcpm, Tp: int):
     """Clip each job's triangle pool by its own plane list via the pooled
     soup-clip kernel (ops/soup_clip_pallas.py on TPU; clip_polys_by_rows
-    off-TPU), with lanes = ALL (job, tri) slots unpacked.
+    off-TPU).
 
     jmesh: (J, Tj, 3, 3); jmmask: (J, Tj); jcpl: (J, K, 4); jcpm: (J, K).
     Returns (mtris (J, Tp, 3, 3), mmask (J, Tp), dropped) — the same
     contract as the vmapped ``clip_trisoup`` path (fan order per job is tri
     order; the in-plane drop rule context is per job, block-local inside
     the kernel — the prepare pair pool's documented divergence).
+
+    On TPU the (job, tri) lanes are CULLED and PACKED before the kernel:
+    a lane whose triangle's bounding sphere is separated from its cell by
+    some cell plane clips to empty — exact to drop — and most jobs hold a
+    full Tj-slot copy of their source piece's surface while only the tris
+    near the cell survive, so the raw J·Tj pool runs ~10-25% occupied
+    (iframe pool measured ~9k of 32768 pre-cull). Packing valid lanes
+    (stable, job-major order preserved) into a PC·3/8 pool cuts both the
+    kernel blocks and the fan/pack glue ~2.7×; pool overflow drops whole
+    lanes (counted, 1 tri each). The in-plane drop-rule context then sees
+    only surviving tris — same measure-zero divergence class as the
+    kernel's block-local context.
     """
     from surtr_tpu.ops.clip_pallas import _target_is_tpu
     from surtr_tpu.ops.linalg import pack_rows
@@ -1125,9 +1143,55 @@ def _pooled_job_mesh_clip(jmesh, jmmask, jcpl, jcpm, Tp: int):
     pair_job = jnp.repeat(jnp.arange(J, dtype=jnp.int32), Tj)
     pair_valid = jmmask.reshape(PC)
     pair_tris = jmesh.reshape(PC, 3, 3)
-    pstart = jnp.arange(J + 1, dtype=jnp.int32) * Tj
+    import os
 
-    if _target_is_tpu():
+    on_tpu = _target_is_tpu()
+    pack = (
+        on_tpu and PC >= 8192
+        and os.environ.get("SURTR_MESH_PACK", "1") == "1"
+    )
+    over_drop = jnp.int32(0)
+
+    if pack:
+        # Exact (job, tri)-level cull: any cell plane separating the tri's
+        # bounding sphere proves an empty clip.
+        tcent = jnp.mean(jmesh, axis=2)                   # (J, Tj, 3)
+        trad = jnp.sqrt(
+            jnp.max(jnp.sum((jmesh - tcent[:, :, None]) ** 2, -1), axis=-1)
+        )                                                 # (J, Tj)
+        dist = (
+            jnp.einsum(
+                "jkx,jtx->jtk", jcpl[..., :3], tcent,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + jcpl[..., 3][:, None, :]
+        )                                                 # (J, Tj, K)
+        sep = jnp.any(
+            jcpm[:, None, :] & (dist > trad[..., None] + 1e-6), axis=-1
+        )
+        pair_valid = pair_valid & ~sep.reshape(PC)
+
+        PPOOL = min(PC, max(2048, (PC * 3) // 8))
+        order = jnp.argsort(
+            jnp.where(pair_valid, 0, 1).astype(jnp.int32), stable=True
+        )
+        sel = order[:PPOOL]
+        sel_ok = pair_valid[sel]
+        over_drop = jnp.sum(pair_valid) - jnp.sum(sel_ok)
+        pair_tris = pair_tris[sel]
+        pair_valid = sel_ok
+        # Sentinel job J for dead lanes: its one-hot column is absent, so
+        # the kernel sees zero planes; nv stays 0 via the validity lane.
+        pair_job = jnp.where(sel_ok, pair_job[sel], J)
+        NL = PPOOL
+        pstart = jnp.searchsorted(
+            pair_job, jnp.arange(J + 1, dtype=jnp.int32), side="left"
+        ).astype(jnp.int32)
+    else:
+        NL = PC
+        pstart = jnp.arange(J + 1, dtype=jnp.int32) * Tj
+
+    if on_tpu:
         poly, nvp, mrun_drops = soup_clip_pooled_pallas(
             pair_tris, pair_valid, pair_job, jcpl, jcpm
         )
@@ -1136,18 +1200,18 @@ def _pooled_job_mesh_clip(jmesh, jmmask, jcpl, jcpm, Tp: int):
             pair_tris, pair_valid, jcpl[pair_job], jcpm[pair_job],
             seg_starts=pstart, seg_id=pair_job,
         )
-    fans, fcnt = fan_triangles(poly, nvp)                 # (PC, S, 3, 3)
+    fans, fcnt = fan_triangles(poly, nvp)                 # (NL, S, 3, 3)
 
     # Per-job Tp clamp BEFORE the global pack (a pair emits only into its
-    # job's remaining budget — same bookkeeping as prepare's pair pool,
-    # with uniform contiguous runs so pstart is an iota).
+    # job's remaining budget — same bookkeeping as prepare's pair pool;
+    # lanes are job-contiguous, pstart from searchsorted when packed).
     cumf = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(fcnt)])
     jobbase = cumf[pstart]                                # (J+1,)
-    off = cumf[:-1] - jobbase[pair_job]                   # (PC,)
+    off = cumf[:-1] - jobbase[jnp.clip(pair_job, 0, J - 1)]  # (NL,)
     allowed = jnp.clip(Tp - off, 0, fcnt)
     fan_drop = jnp.sum(fcnt * pair_valid) - jnp.sum(allowed * pair_valid)
     Sfan = fans.shape[1]
-    packed, _ftot = pack_rows(fans.reshape(PC, Sfan, 9), allowed, J * Tp)
+    packed, _ftot = pack_rows(fans.reshape(NL, Sfan, 9), allowed, J * Tp)
     cuma = jnp.concatenate([jnp.zeros((1,), jnp.int32), jnp.cumsum(allowed)])
     fanbase = cuma[pstart]                                # (J+1,)
     jobfan = fanbase[1:] - fanbase[:-1]                   # (J,) ≤ Tp
@@ -1157,7 +1221,7 @@ def _pooled_job_mesh_clip(jmesh, jmmask, jcpl, jcpm, Tp: int):
     mtris = jnp.where(
         mmask[..., None, None], packed[idx].reshape(J, Tp, 3, 3), 0.0
     )
-    return mtris, mmask, fan_drop + mrun_drops
+    return mtris, mmask, fan_drop + mrun_drops + over_drop
 
 
 # ----------------------------------------------------------------------------
@@ -1430,11 +1494,12 @@ def do_fracture(
 
     # --- HandleConvexIsland (Surtr.cpp:2203-2366): split every compound into
     # contact-connected components.
-    packed = split_groups_by_contact(
+    packed, split_overflow = split_groups_by_contact(
         packed, eps=1e-3 * mas, exact=cfg.exact_face_overlap
     )
 
     metrics = {
+        "split_face_overflow": split_overflow,
         "active_pieces": jnp.sum(active),
         "active_overflow": active_overflow,
         "job_overflow": job_overflow,
@@ -1454,8 +1519,10 @@ def do_fracture(
 
 
 @functools.partial(jax.jit, static_argnames=("exact",))
-def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> PieceSet:
+def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False):
     """Split every compound (group) into face-contact-connected components.
+    Returns (PieceSet, split_overflow) — the overflow counts contact faces
+    beyond the exact-SAT face pool (0 on the non-exact path).
 
     Contact test: a pair of pieces touches iff they own *opposite, coplanar*
     faces (cut faces share planes bitwise) whose bounding spheres overlap —
@@ -1466,13 +1533,18 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
     (top-4 candidate partners per face), matching the reference's exact scan.
     Components then relabel ``group`` (flood fill, Surtr.cpp:2325-2352).
 
-    Layout: the candidate search runs at (P·F, P, F) with every term
-    elementwise and reduced over the partner-face axis INSIDE one fused
+    Layout: a piece-level candidate prune (same group + bounding-sphere
+    proximity, nearest-first top-KP) runs at (P, P), then the face chain
+    runs only against the KP candidate pieces: (P·F, KP, F) with every term
+    elementwise and the partner-face axis min-reduced INSIDE one fused
     chain — a convex piece owns at most one real face on a given plane, so
-    "nearest opposite-coplanar face of partner j" is exact. The previous
+    "nearest opposite-coplanar face of partner j" is exact. History: the
     all-pairs face table ((P·F)² ≈ 67M entries at the interactive-frame
-    pool) materialized a 268 MB einsum plus a same-size top_k input and
-    measured ~3.4 ms/event; this form peaks at (P·F, P) = 8 MB.
+    pool) measured ~3.4 ms/event; the (P·F, P, F) fused chain ~4.2 ms at
+    F=26 — the KP=48 prune cuts its element count ~5×. The prune is
+    conservative (threshold 2·(r_i+r_j) covers face-sphere contact through
+    non-centered faces); candidate overflow beyond KP drops the FARTHEST
+    pieces only.
     """
     P, F = pieces.P, pieces.convex.F
     planes = pieces.convex.planes  # (P, F, 4)
@@ -1493,69 +1565,128 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
 
     pf = P * F
     n_flat = planes[..., :3].reshape(pf, 3)
-    d_flat = planes[..., 3].reshape(pf)
     m_flat = fmask.reshape(pf)
-    c_flat = cent.reshape(pf, 3)
-    r_flat = jnp.sqrt(r2.reshape(pf))
     owner = jnp.repeat(jnp.arange(P, dtype=jnp.int32), F)
-    group = pieces.group[owner]
 
-    # Best (nearest) opposite-coplanar-near face of EACH partner piece, per
-    # flat face: a fused (pf, P, F) elementwise chain min-reduced over the
-    # partner-face axis (never materialized).
-    nj = planes[..., :3]                                    # (P, F, 3)
-    dj = planes[..., 3]                                     # (P, F)
-    rj = jnp.sqrt(r2)
-    ndot = (
-        n_flat[:, None, None, 0] * nj[None, ..., 0]
-        + n_flat[:, None, None, 1] * nj[None, ..., 1]
-        + n_flat[:, None, None, 2] * nj[None, ..., 2]
-    )                                                       # (pf, P, F)
-    opp = jnp.abs(ndot + 1.0) < 1e-4
-    cop = jnp.abs(d_flat[:, None, None] + dj[None]) < eps
-    cd2 = (
-        (c_flat[:, None, None, 0] - cent[None, ..., 0]) ** 2
-        + (c_flat[:, None, None, 1] - cent[None, ..., 1]) ** 2
-        + (c_flat[:, None, None, 2] - cent[None, ..., 2]) ** 2
-    )
-    near_g = cd2 <= (r_flat[:, None, None] + rj[None] + eps) ** 2
-    score_g = jnp.where(
-        opp & cop & near_g & fmask[None], cd2, BIG
-    )                                                       # (pf, P, F)
-    bdist = jnp.min(score_g, axis=-1)                       # (pf, P)
-    bface = jnp.argmin(score_g, axis=-1).astype(jnp.int32)  # (pf, P)
-
+    # ---- piece-level candidate prune: same group, valid, spheres near.
+    KP = min(48, P)
     pidx_all = jnp.arange(P, dtype=jnp.int32)
+    psm = pieces.convex.slot_mask()                          # (P, F, S)
+    pcnt = jnp.maximum(jnp.sum(psm, axis=(1, 2)), 1)
+    pcent = (
+        jnp.sum(
+            jnp.where(psm[..., None], pieces.convex.face_verts, 0.0),
+            axis=(1, 2),
+        )
+        / pcnt[:, None]
+    )                                                        # (P, 3)
+    pr = jnp.sqrt(
+        jnp.max(
+            jnp.where(
+                psm,
+                jnp.sum(
+                    (pieces.convex.face_verts - pcent[:, None, None]) ** 2,
+                    -1,
+                ),
+                0.0,
+            ),
+            axis=(1, 2),
+        )
+    )                                                        # (P,)
+    pd2 = jnp.sum((pcent[:, None] - pcent[None, :]) ** 2, -1)  # (P, P)
+    cand_ok = (
+        (pieces.group[:, None] == pieces.group[None, :])
+        & pieces.valid[:, None]
+        & pieces.valid[None, :]
+        & (pidx_all[:, None] != pidx_all[None, :])
+        & (pd2 <= (2.0 * (pr[:, None] + pr[None, :]) + eps) ** 2)
+    )
+    _, part = jax.lax.top_k(jnp.where(cand_ok, -pd2, -BIG), KP)  # (P, KP)
+    part = part.astype(jnp.int32)
+    part_ok = jnp.take_along_axis(cand_ok, part, axis=1)     # (P, KP)
+
+    # Partner face tables, gathered once per candidate piece.
+    planes_k = planes[part]                                  # (P, KP, F, 4)
+    cent_k = cent[part]                                      # (P, KP, F, 3)
+    rj_k = jnp.sqrt(r2)[part]                                # (P, KP, F)
+    fmask_k = fmask[part]                                    # (P, KP, F)
+
+    # Best (nearest) opposite-coplanar-near face of EACH candidate piece,
+    # per own face: fused (P, F, KP, F) chain min-reduced over the partner-
+    # face axis (never materialized).
+    n_own = planes[..., :3]                                  # (P, F, 3)
+    d_own = planes[..., 3]                                   # (P, F)
+    r_own = jnp.sqrt(r2)
+    ndot = jnp.einsum(
+        "pfx,pkgx->pfkg", n_own, planes_k[..., :3],
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # (P, F, KP, F)
+    opp = jnp.abs(ndot + 1.0) < 1e-4
+    cop = (
+        jnp.abs(d_own[:, :, None, None] + planes_k[..., 3][:, None]) < eps
+    )
+    cd2 = (
+        (cent[..., 0][:, :, None, None] - cent_k[..., 0][:, None]) ** 2
+        + (cent[..., 1][:, :, None, None] - cent_k[..., 1][:, None]) ** 2
+        + (cent[..., 2][:, :, None, None] - cent_k[..., 2][:, None]) ** 2
+    )
+    near_g = cd2 <= (
+        r_own[:, :, None, None] + rj_k[:, None] + eps
+    ) ** 2
+    score_g = jnp.where(
+        opp & cop & near_g & fmask_k[:, None], cd2, BIG
+    )                                                        # (P, F, KP, F)
+    bdist = jnp.min(score_g, axis=-1).reshape(pf, KP)        # (pf, KP)
+    bface = jnp.argmin(score_g, axis=-1).astype(jnp.int32).reshape(pf, KP)
+
     pair_ok = (
         (bdist < BIG / 2)
-        & (group[:, None] == pieces.group[None, :])
-        & (owner[:, None] != pidx_all[None, :])
         & m_flat[:, None]
-        & pieces.valid[None, :]
-    )                                                       # (pf, P)
+        & jnp.repeat(part_ok, F, axis=0).reshape(pf, KP)
+    )                                                        # (pf, KP)
+    part_flat = jnp.repeat(part, F, axis=0).reshape(pf, KP)  # owner-tiled
 
     if exact:
         # Refine sphere-passing pairs with an exact 2-D SAT overlap of the
         # coplanar face polygons (top-4 candidate partner pieces per face;
         # a convex partner contributes at most one opposite face on a
         # plane, so partner-level top-4 covers the old face-level top-4).
-        K4 = min(4, P)
+        # The SAT runs on a packed FACE pool: only faces with ≥1 surviving
+        # candidate participate (~10-25% of the pf slots on real events —
+        # the all-slot vmap measured ~2.4 ms of the 3.2 ms split at the
+        # interactive-frame pool). Pool overflow drops the HIGHEST face
+        # slots (stable order) and is returned as split_overflow.
+        K4 = min(4, KP)
         S = pieces.convex.S
-        score = jnp.where(pair_ok, -bdist, -BIG)            # (pf, P)
-        _, candp = jax.lax.top_k(score, K4)                 # (pf, K4)
-        cmask = jnp.take_along_axis(pair_ok, candp, axis=1)
-        cand = candp * F + jnp.take_along_axis(bface, candp, axis=1)
+        has_cand = jnp.any(pair_ok, axis=1)                 # (pf,)
+        FPOOL = min(pf, max(1024, pf // 3))
+        forder = jnp.argsort(
+            jnp.where(has_cand, 0, 1).astype(jnp.int32), stable=True
+        )
+        fsel = forder[:FPOOL]
+        fok = has_cand[fsel]
+        split_overflow = jnp.sum(has_cand) - jnp.sum(fok)
+        pair_ok_p = pair_ok[fsel] & fok[:, None]            # (FPOOL, KP)
+        score = jnp.where(pair_ok_p, -bdist[fsel], -BIG)    # (FPOOL, KP)
+        _, candk = jax.lax.top_k(score, K4)                 # (FPOOL, K4)
+        cmask = jnp.take_along_axis(pair_ok_p, candk, axis=1)
+        candp = jnp.take_along_axis(
+            part_flat[fsel], candk, axis=1
+        )                                                   # piece ids
+        cand = candp * F + jnp.take_along_axis(
+            bface[fsel], candk, axis=1
+        )
         fv_flat = pieces.convex.face_verts.reshape(pf, S, 3)
         nv_flat = pieces.convex.n_verts.reshape(pf)
 
         def pair_overlap(i):
-            """(K4,) exact overlaps of face i against its candidates."""
+            """(K4,) exact overlaps of pooled face i vs its candidates."""
             from surtr_tpu.ops.clip import plane_basis
 
-            ni = n_flat[i]
+            ni = n_flat[fsel[i]]
             u, v = plane_basis(ni)
-            ai = fv_flat[i]                                 # (S, 3)
-            mi = jnp.arange(S) < nv_flat[i]
+            ai = fv_flat[fsel[i]]                           # (S, 3)
+            mi = jnp.arange(S) < nv_flat[fsel[i]]
             a2 = jnp.stack([ai @ u, ai @ v], axis=-1)       # (S, 2)
             bj = fv_flat[cand[i]]                           # (K4, S, 3)
             mj = jnp.arange(S)[None, :] < nv_flat[cand[i]][:, None]
@@ -1586,20 +1717,29 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
             sep = am & ((a_hi < b_lo - eps) | (b_hi < a_lo - eps))
             return ~jnp.any(sep, axis=-1)
 
-        exact_ok = jax.vmap(pair_overlap)(jnp.arange(pf)) & cmask
+        exact_ok = jax.vmap(pair_overlap)(jnp.arange(FPOOL)) & cmask
         # Face-pair → piece-level adjacency, scatter-free: piece adj via
         # per-face one-hot partner contraction over the K4 candidate slots.
         oh_j = jax.nn.one_hot(
             jnp.where(exact_ok, candp, P), P + 1, dtype=jnp.float32
-        )[..., :P]                                          # (pf, K4, P)
-        contrib = jnp.max(oh_j, axis=1)                     # (pf, P)
+        )[..., :P]                                          # (FPOOL, K4, P)
+        contrib = jnp.max(oh_j, axis=1)                     # (FPOOL, P)
         adjf = jax.ops.segment_max(
-            contrib, owner, num_segments=P
-        )                                                   # (P, P)
+            contrib, jnp.where(fok, owner[fsel], P),
+            num_segments=P + 1,
+        )[:P]                                               # (P, P)
         adj = adjf > 0.5
     else:
-        # Face-level contact → piece-level adjacency.
-        adj = jnp.any(pair_ok.reshape(P, F, P), axis=1)
+        # Face-level contact → piece-level adjacency: any own face in
+        # contact with candidate slot k marks (owner, part[owner, k]).
+        ok_piece = jnp.any(
+            pair_ok.reshape(P, F, KP), axis=1
+        )                                                    # (P, KP)
+        oh = jax.nn.one_hot(
+            jnp.where(ok_piece, part, P), P + 1, dtype=jnp.float32
+        )[..., :P]                                           # (P, KP, P)
+        adj = jnp.max(oh, axis=1) > 0.5
+        split_overflow = jnp.int32(0)
 
     comp = adjacency_components(adj, pieces.valid)  # (P,) min reachable index
 
@@ -1619,13 +1759,16 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False) -> Piece
     )
     # Dense renumber.
     new_group = _dense_renumber(new_group, pieces.valid)
-    return PieceSet(
-        convex=pieces.convex,
-        mesh=pieces.mesh,
-        mesh_valid=pieces.mesh_valid,
-        valid=pieces.valid,
-        group=new_group,
-        tag=pieces.tag,
+    return (
+        PieceSet(
+            convex=pieces.convex,
+            mesh=pieces.mesh,
+            mesh_valid=pieces.mesh_valid,
+            valid=pieces.valid,
+            group=new_group,
+            tag=pieces.tag,
+        ),
+        split_overflow,
     )
 
 

@@ -44,8 +44,12 @@ def raycast(scene: PhysicsScene, origin: jax.Array, direction: jax.Array):
     t_exit = jnp.min(jnp.where(pm & ~entering, t_hit, BIG), axis=1)
     # Ray misses if origin is outside a face it never crosses inward.
     outside_parallel = jnp.any(pm & (jnp.abs(nd) <= 1e-12) & (no > 0), axis=1)
+    # A piece with no valid planes matches EVERY ray at t=0 (t_enter=-BIG,
+    # t_exit=+BIG) — degenerate pieces must never report a hit.
+    has_planes = jnp.any(pm, axis=1)
     hit = (
         scene.piece_valid
+        & has_planes
         & (t_enter <= t_exit)
         & (t_exit > 0)
         & ~outside_parallel
@@ -67,9 +71,10 @@ def sphere_overlap(scene: PhysicsScene, center: jax.Array, radius):
     pm = scene.piece_pmask & scene.piece_valid[:, None]
     s = jnp.sum(n * center, axis=-1) + d
     # If center is inside all planes → inside; else all plane distances ≤ r
-    # is a (convex-conservative) overlap test.
+    # is a (convex-conservative) overlap test. Plane-less (degenerate)
+    # pieces must not read as "inside everything".
     maxs = jnp.max(jnp.where(pm, s, -BIG), axis=1)
-    near = maxs <= radius
+    near = (maxs <= radius) & jnp.any(pm, axis=1)
     wv, wm = piece_world_verts(scene)
     vert_near = jnp.any(
         wm & (jnp.sum((wv - center) ** 2, -1) <= radius * radius), axis=1

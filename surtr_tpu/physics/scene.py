@@ -246,6 +246,13 @@ def build_scene(
     emask_s = take(Ne) > 0.5
     owner_sorted = take(1)[:, 0].astype(jnp.int32)
     valid_s = take(1)[:, 0] > 0.5
+    # A piece whose body carries no mass (all-degenerate group) must not
+    # exist for queries/contacts — zero-mass "static" debris would block
+    # raycasts and shade the impact sphere (defense in depth; the fracture
+    # pipeline also culls empty-hull candidates).
+    valid_s = valid_s & (owner_sorted >= 0) & body_valid[
+        jnp.clip(owner_sorted, 0, B - 1)
+    ]
     # Bodies with pieces beyond B (invalid) are excluded: clamp final edge.
     return PhysicsScene(
         bodies=bodies,

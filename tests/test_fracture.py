@@ -142,7 +142,7 @@ def test_split_groups_by_contact_detects_separation():
         group=jnp.zeros((P,), jnp.int32),
         tag=jnp.full((P,), -1, jnp.int32),
     )
-    out = split_groups_by_contact(pieces, eps=1e-3)
+    out, _ = split_groups_by_contact(pieces, eps=1e-3)
     g = np.asarray(out.group)
     assert g[0] == g[1]
     assert g[2] != g[0]
@@ -219,8 +219,8 @@ def test_exact_face_overlap_splits_laterally_offset_pieces():
         jnp.zeros((2,), jnp.int32),       # same compound
         jnp.full((2,), -1, jnp.int32),
     )
-    loose = split_groups_by_contact(pieces, eps=1e-3, exact=False)
-    strict = split_groups_by_contact(pieces, eps=1e-3, exact=True)
+    loose, _ = split_groups_by_contact(pieces, eps=1e-3, exact=False)
+    strict, _ = split_groups_by_contact(pieces, eps=1e-3, exact=True)
     lg = np.asarray(loose.group)[np.asarray(loose.valid)]
     sg = np.asarray(strict.group)[np.asarray(strict.valid)]
     assert len(set(lg.tolist())) == 1, lg    # sphere proxy keeps them glued
@@ -240,6 +240,6 @@ def test_exact_face_overlap_splits_laterally_offset_pieces():
         jnp.zeros((2,), jnp.int32),
         jnp.full((2,), -1, jnp.int32),
     )
-    s2 = split_groups_by_contact(pieces2, eps=1e-3, exact=True)
+    s2, _ = split_groups_by_contact(pieces2, eps=1e-3, exact=True)
     g2 = np.asarray(s2.group)[np.asarray(s2.valid)]
     assert len(set(g2.tolist())) == 1, g2

@@ -46,6 +46,10 @@ def main():
     from surtr_tpu.io.models import get_model, sphere_point_cloud
 
     shape = os.environ.get("SURTR_IMPACT", "cube32")
+    # The iframe bench runs Scene("cube"), whose convex-model dispatch turns
+    # exact_caps OFF (legacy refit-face caps are exact for convex solids) —
+    # default to matching it; SURTR_EXACT_CAPS=1 forces the concave path.
+    exact_caps = os.environ.get("SURTR_EXACT_CAPS", "0") == "1"
     if shape == "iframe":
         cfg = FractureConfig(
             initial_decompose_cell_cnt=64,
@@ -56,6 +60,7 @@ def main():
             partial_pattern_cell_cnt=128,
             general_pattern_cell_cnt=64,
             voronoi_neighbors=48,
+            exact_caps=exact_caps,
         )
     else:
         cfg = FractureConfig(
@@ -66,6 +71,7 @@ def main():
             partial_pattern_cell_cnt=128,
             voronoi_neighbors=48,
             general_pattern_cell_cnt=8,
+            exact_caps=exact_caps,
         )
     v, f = get_model("cube")
     cloud = jnp.asarray(sphere_point_cloud())
