@@ -96,7 +96,7 @@ class FractureConfig:
                                  # those steps to a distance test. Exact:
                                  # a masked plane cannot cut its cell.
                                  # 0 = single-pass fold of all planes
-    mesh_pair_pool: bool = True
+    mesh_pair_pool: bool | str = "auto"
                                  # model-scale mesh clip: compact the live
                                  # (cell, tri) pairs into one flat pool and
                                  # fold each pooled polygon by its own
@@ -104,7 +104,15 @@ class FractureConfig:
                                  # clip_polys_by_rows) instead of clipping
                                  # per-cell uniform pools (~90% padding at
                                  # pumpkin scale). False = the per-cell
-                                 # vmapped clip (equivalence-tested)
+                                 # vmapped clip (equivalence-tested).
+                                 # "auto": do_fracture picks the pooled
+                                 # kernel only when the (job, tri) lane
+                                 # pool is ≥ 64k (measured crossover: the
+                                 # vmapped clip wins 7.7 vs 8.7 ms at the
+                                 # 32k interactive-frame pool; the pooled
+                                 # kernel wins ~50 ms at pumpkin scale);
+                                 # prepare_fracture's pair pool always
+                                 # packs (its culled pools are large).
     exact_caps: bool = True
                                  # True = exact cut-surface caps (the
                                  # reference's closed-polyhedron clip

@@ -762,7 +762,7 @@ def prepare_fracture(
         )
         if profile_stage == 42:     # sub-profile: active planes + cull
             return _psum(conv, cidx, csel), None, None
-        if cfg.mesh_pair_pool:
+        if cfg.mesh_pair_pool in (True, "auto"):  # prepare always packs
             # Pair-pool clip: compact the LIVE (cell, tri) pairs into one flat
             # pool and give every pooled polygon its own cell's planes. The
             # per-cell uniform pools wasted ~90% of their slots at model scale
@@ -1391,12 +1391,17 @@ def do_fracture(
     jmmask = src_mmask[src_of] & jvalid[:, None]
     jcpl = cells.planes[cell_of]
     jcpm = cells.face_mask()[cell_of]
-    if cfg.mesh_pair_pool:
-        # Flat (job, tri) lanes through the pooled soup-clip kernel — the
-        # vmapped clip_trisoup is a K-plane XLA scan whose ~30 ops/plane of
-        # dispatch overhead dominated the fused interactive frame's
-        # fracture slice (same fix as prepare_fracture's pair pool; here
-        # the per-job pools are already small, so lanes stay UNPACKED).
+    use_pool = (
+        jmmask.size >= 65536
+        if cfg.mesh_pair_pool == "auto"
+        else bool(cfg.mesh_pair_pool)
+    )
+    if use_pool:
+        # Flat (job, tri) lanes through the pooled soup-clip kernel — wins
+        # at model scale where the vmapped clip_trisoup's K-plane XLA scan
+        # pays ~30 ops/plane of dispatch overhead over a huge job pool; at
+        # the 32k interactive-frame pool the vmapped path measured 1 ms
+        # faster end-to-end ("auto" crossover above).
         mtris, mmask, mdrop = _pooled_job_mesh_clip(
             jmesh, jmmask, jcpl, jcpm, Tp
         )

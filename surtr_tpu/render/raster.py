@@ -174,15 +174,23 @@ def rasterize_ids(
 def raster_screen(
     sx, sy, sz, ok, W: int, H: int,
     tile_rows: int = 32, tri_block: int = 512, use_pallas: bool | None = None,
+    attr_tab=None,
 ):
-    """Core z-buffer sweep over screen-space triangles (already clipped)."""
+    """Core z-buffer sweep over screen-space triangles (already clipped).
+
+    ``attr_tab`` (T, A): optional per-triangle G-buffer attributes; when
+    given, also returns gbuf (H, W, A) = attr_tab[tid] (zeros on
+    background). The Pallas kernel selects the winner's attributes
+    in-kernel (VMEM one-hot contraction); the jnp path gathers — cheap on
+    CPU, and the two agree exactly, keeping the parity tests one-path.
+    """
     T = sx.shape[0]
     if use_pallas is None:
         use_pallas = _use_pallas_default()
     if use_pallas and W % 128 == 0 and H % 32 == 0:
         from surtr_tpu.render.raster_pallas import rasterize_ids_pallas
 
-        return rasterize_ids_pallas(sx, sy, sz, ok, W, H)
+        return rasterize_ids_pallas(sx, sy, sz, ok, W, H, attr_tab=attr_tab)
 
     pad_t = (-T) % tri_block
     def padt(a, fill=0.0):
@@ -249,51 +257,73 @@ def raster_screen(
     depth = depth.reshape(ntile * rows_per, W)[:H]
     tid = tid.reshape(ntile * rows_per, W)[:H]
     tid = jnp.where(tid >= T, -1, tid)  # padded tris never win, but be safe
+    if attr_tab is not None:
+        tab_ext = jnp.concatenate(
+            [attr_tab, jnp.zeros((1,) + attr_tab.shape[1:], attr_tab.dtype)]
+        )
+        gbuf = tab_ext[jnp.where(tid >= 0, tid, T)].astype(jnp.float32)
+        return depth, tid, gbuf
     return depth, tid
 
 
 def _shade_deferred(
     tris_world, colors, cam_vp, light_vp, light_dir,
     depth, tid2, sdepth, W: int, H: int, shadow_size: int,
-    ambient: float, bias: float,
+    ambient: float, bias: float, gbuf=None,
 ):
     """Flat-shading shading pass from the depth/id buffers alone.
 
     World positions come from intersecting each pixel's view ray with the
-    hit triangle's PLANE (an f32 (T, 4) plane-table gather): unprojecting
-    the f32 NDC z-buffer amplifies depth quantization by ~z²/near, giving
-    unbounded wpos error at far/grazing pixels (advisor r3: mean ~16 world
-    units on the ground plane; shadow lookups visibly diverged) — the
-    ray-plane form is exact up to the plane itself. Shading attributes
-    remain ONE bf16 gather of a (T, 6) [face normal, color] table
-    (near-clip sub-triangles share their source triangle's id, so the
-    tables live in the original T domain). The 9-tap PCF stack is quantized
-    to i16 (±5e-5 depth error, far below the 2e-3 slope-scaled bias) —
-    halves the dominant (H·W, 9) gather's bytes. Semantics match the
-    reference shading path (Shader.hlsli:97-145) to quantization.
+    hit triangle's PLANE: unprojecting the f32 NDC z-buffer amplifies depth
+    quantization by ~z²/near, giving unbounded wpos error at far/grazing
+    pixels (advisor r3: mean ~16 world units on the ground plane; shadow
+    lookups visibly diverged) — the ray-plane form is exact up to the plane
+    itself.
+
+    ``gbuf`` (H, W, 7) = per-pixel [n̂ (3), color (3), n̂·v0 (1)] emitted by
+    the raster's in-kernel winner selection: the attribute and plane
+    per-pixel row gathers this pass used to pay (~2 ms each at 512² on
+    this backend) are gone. Without gbuf (CPU path / external callers) the
+    gathers remain: ONE bf16 (T, 6) [normal, color] gather + an f32 (T, 4)
+    plane gather. The 9-tap PCF stack is quantized to i16 (±5e-5 depth
+    error, far below the 2e-3 slope-scaled bias) — halves the dominant
+    (H·W, 9) gather's bytes. Semantics match the reference shading path
+    (Shader.hlsli:97-145) to quantization.
     """
     T = tris_world.shape[0]
     hit = tid2 >= 0
-    idx = jnp.clip(tid2, 0, 2 * T - 1) % T
 
-    n_t = jnp.cross(
-        tris_world[:, 1] - tris_world[:, 0],
-        tris_world[:, 2] - tris_world[:, 0],
-    )
-    n_t = n_t / jnp.maximum(
-        jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
-    )
-    table = jnp.concatenate([n_t, colors], axis=1).astype(jnp.bfloat16)
-    pa = table[idx].astype(jnp.float32)                 # (H, W, 6)
-    n = pa[..., 0:3]
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
-    base = pa[..., 3:6]
-    # Geometry needs full precision: (n, n·v0) as a separate f32 gather
-    # (1 MB extra at 512² — the bf16 normal alone tilts the plane ~0.4%).
-    plane_t = jnp.concatenate(
-        [n_t, jnp.sum(n_t * tris_world[:, 0], -1, keepdims=True)], axis=1
-    )                                                   # (T, 4) f32
-    pl = plane_t[idx]                                   # (H, W, 4)
+    if gbuf is not None:
+        n = gbuf[..., 0:3]
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
+        )
+        base = gbuf[..., 3:6]
+        pl = jnp.concatenate([gbuf[..., 0:3], gbuf[..., 6:7]], axis=-1)
+    else:
+        idx = jnp.clip(tid2, 0, 2 * T - 1) % T
+        n_t = jnp.cross(
+            tris_world[:, 1] - tris_world[:, 0],
+            tris_world[:, 2] - tris_world[:, 0],
+        )
+        n_t = n_t / jnp.maximum(
+            jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
+        )
+        table = jnp.concatenate([n_t, colors], axis=1).astype(jnp.bfloat16)
+        pa = table[idx].astype(jnp.float32)             # (H, W, 6)
+        n = pa[..., 0:3]
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12
+        )
+        base = pa[..., 3:6]
+        # Geometry needs full precision: (n, n·v0) as a separate f32 gather
+        # (1 MB extra at 512² — the bf16 normal alone tilts the plane
+        # ~0.4%).
+        plane_t = jnp.concatenate(
+            [n_t, jnp.sum(n_t * tris_world[:, 0], -1, keepdims=True)],
+            axis=1,
+        )                                               # (T, 4) f32
+        pl = plane_t[idx]                               # (H, W, 4)
 
     # Pixel view rays: unproject NDC z=0 and z=1 once through inv(cam_vp),
     # then intersect with the hit plane — no dependence on the z-buffer.
@@ -404,23 +434,39 @@ def render_scene(
     clip = _project(tris_world, cam_vp)
     clip2, world2, ok2 = _near_clip_full(clip, valid, tris_world)
     sx, sy, sz, inv_w = _screen(clip2, W, H)            # (2T, 3)
-    depth, tid2 = raster_screen(sx, sy, sz, ok2, W, H)
-    hit = tid2 >= 0
-    t2 = jnp.clip(tid2, 0, 2 * T - 1)
 
     if normals is None and not wireframe:
         # Fast deferred path (flat shading — the interactive-loop config).
         # Random row gathers on this backend cost ~ per-row DMA overhead ×
         # bytes (tools/bench_gather.py: (H·W, 24) f32 rows 4.2 ms, 9-lane
-        # bf16 2.1, i16 2.3) — so instead of gathering per-triangle vertex
-        # attributes and re-deriving barycentrics, reconstruct the world
-        # position by UNPROJECTING the depth buffer (NDC z is affine in
-        # screen space, so the z-buffer value is exact for the winning
-        # plane) and gather only a 6-lane bf16 [normal, color] table.
+        # bf16 2.1, i16 2.3) — the raster emits the winner's [n̂, color,
+        # n̂·v0] G-buffer from VMEM instead (raster_pallas in-kernel
+        # one-hot contraction; the jnp path gathers, cheap off-TPU), and
+        # the world position comes from intersecting the pixel ray with
+        # the winning plane.
+        n_t = jnp.cross(
+            tris_world[:, 1] - tris_world[:, 0],
+            tris_world[:, 2] - tris_world[:, 0],
+        )
+        n_t = n_t / jnp.maximum(
+            jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
+        )
+        d_t = jnp.sum(n_t * tris_world[:, 0], axis=-1, keepdims=True)
+        attr_tab = jnp.tile(
+            jnp.concatenate([n_t, colors, d_t], axis=1), (2, 1)
+        )                                               # (2T, 7)
+        depth, tid2, gbuf = raster_screen(
+            sx, sy, sz, ok2, W, H, attr_tab=attr_tab
+        )
         return _shade_deferred(
             tris_world, colors, cam_vp, light_vp, light_dir,
             depth, tid2, sdepth, W, H, shadow_size, ambient, bias,
+            gbuf=gbuf,
         )
+
+    depth, tid2 = raster_screen(sx, sy, sz, ok2, W, H)
+    hit = tid2 >= 0
+    t2 = jnp.clip(tid2, 0, 2 * T - 1)
 
     # Per-tri attributes in the 2T domain, fetched with ONE packed gather
     # (separate row gathers cost ~ms each on this backend).
