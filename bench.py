@@ -393,6 +393,11 @@ def bench_interactive_frame():
         render=RenderConfig(width=512, height=512, shadow_size=512),
     )
     sc = Scene("cube", cfg)
+    # Scene's convex-model dispatch rewrites the fracture config (cube is
+    # convex → legacy caps are exact and exact_caps turns OFF); the frames
+    # must run THAT config — passing the pre-dispatch cfg silently re-ran
+    # the concave-model caps machinery every frame (~6 ms/frame measured).
+    cfg = sc.cfg
     origin = jnp.asarray([0.0, 10.0, 0.0])
     direction = jnp.asarray([0.0, -1.0, 0.0])
     eye = jnp.asarray([8.0, 6.0, 8.0], jnp.float32)

@@ -77,6 +77,7 @@ def main():
         render=RenderConfig(width=512, height=512, shadow_size=512),
     )
     sc = Scene("cube", cfg)
+    cfg = sc.cfg  # post convex-model dispatch
     origin = jnp.asarray([0.0, 10.0, 0.0])
     direction = jnp.asarray([0.0, -1.0, 0.0])
     eye = jnp.asarray([8.0, 6.0, 8.0], jnp.float32)

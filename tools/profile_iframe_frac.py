@@ -63,6 +63,7 @@ def main():
         render=RenderConfig(width=512, height=512, shadow_size=512),
     )
     sc = Scene("cube", cfg)
+    cfg = sc.cfg  # post convex-model dispatch
     fcfg = sc.cfg.fracture  # post convex-model dispatch (exact_caps off)
     if os.environ.get("SURTR_MESH_POOL") == "0":
         import dataclasses
