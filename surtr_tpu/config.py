@@ -258,23 +258,12 @@ class PhysicsConfig:
                                    # Pallas kernel (physics/prep_pallas.py).
                                    # The XLA prep is ~60 small ops whose
                                    # per-op overhead measured ~6.5 ms at 10k
-    banded_solver: bool = False    # single launch for ALL solver iterations:
-                                   # contacts permuted into Morton-sorted
-                                   # order (broadphase="sorted" only) where
-                                   # partner rows sit within ±window — the
-                                   # per-iteration XLA partner gather becomes
-                                   # an in-kernel one-hot MXU select
-                                   # (physics/solver_banded.py). OFF: round-3
-                                   # measurement shows the in-kernel one-hot
-                                   # reconstruction (8 narrow matmuls/block)
-                                   # plus the input permute gather costs MORE
-                                   # than the per-iteration gathers it saves
-                                   # (solver 16.7 ms vs 10 ms at 10k)
-    solver_gauss_seidel: bool = False
-                                   # banded solver: let later Morton blocks
-                                   # see earlier blocks' updates within one
-                                   # iteration (faster convergence; breaks
-                                   # bitwise parity with the XLA Jacobi path)
+    # (banded_solver / solver_gauss_seidel were deleted in round 5: the
+    # banded-Morton single-launch solver measured-out twice, and the
+    # one-kernel Gauss-Seidel COLOR SWEEP that remained the open question
+    # is dead on arrival — its per-color one-hot gather/scatter roundtrip
+    # alone costs 3.2 ms/step at 10k bodies, 3x the whole Jacobi solver
+    # share (tools/exp_gs_sweep.py; ROADMAP "Round-5 resolution").)
     sleep_velocity: float = 0.05   # bodies slower than this (|v| and |ω|)
                                    # for sleep_frames consecutive steps go
                                    # to sleep: frozen pose, static for

@@ -1574,7 +1574,10 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False):
     owner = jnp.repeat(jnp.arange(P, dtype=jnp.int32), F)
 
     # ---- piece-level candidate prune: same group, valid, spheres near.
-    KP = min(48, P)
+    # KP=32 covers Voronoi-fragment contact degree (~10-15 face partners)
+    # with 2x headroom; candidates are distance-ordered so overflow drops
+    # the farthest pieces only.
+    KP = min(32, P)
     pidx_all = jnp.arange(P, dtype=jnp.int32)
     psm = pieces.convex.slot_mask()                          # (P, F, S)
     pcnt = jnp.maximum(jnp.sum(psm, axis=(1, 2)), 1)

@@ -273,8 +273,8 @@ def _broadphase_sorted(centers, lo, hi, owner, valid, K, window):
     pok_s = neg > -BIG / 2
     delta_s = part_rank - r[:, None]                 # sorted-rank deltas ≤ W
 
-    # Back to original piece order. (order/inv/delta_s stay in sorted
-    # space — the banded solver re-permutes its inputs with them.)
+    # Back to original piece order. (order/inv/delta_s are returned in
+    # sorted space for callers that want the Morton ordering itself.)
     pidx = part_orig[inv]
     pok = pok_s[inv]
     return pidx, pok, order, inv, delta_s
@@ -395,7 +395,6 @@ def _physics_step_body(
         and (on_tpu or cfg.force_pallas_narrowphase)
         and single
         and cfg.fused_prep
-        and not cfg.banded_solver
         and (on_tpu or cfg.force_pallas_solver)
     )
     if use_fast:
@@ -455,7 +454,7 @@ def _physics_step_body(
     from surtr_tpu.physics.broadphase_pallas import MAX_EXACT_NP
 
     bp_mode = cfg.broadphase
-    pallas_ok = cfg.pallas_broadphase and not cfg.banded_solver and (
+    pallas_ok = cfg.pallas_broadphase and (
         on_tpu or cfg.force_pallas_broadphase
     )
     if bp_mode == "auto":
@@ -499,7 +498,6 @@ def _physics_step_body(
     elif bp_mode == "sorted":
         if (
             cfg.pallas_broadphase
-            and not cfg.banded_solver
             and K <= 2 * cfg.broadphase_window
             and (on_tpu or cfg.force_pallas_broadphase)
         ):
@@ -786,7 +784,6 @@ def _physics_step_body(
     if (
         single
         and cfg.fused_prep
-        and not cfg.banded_solver
         and (on_tpu or cfg.force_pallas_solver)
         and profile_stage > 3
     ):
@@ -1104,60 +1101,12 @@ def _assemble_and_solve(
     mu = cfg.dynamic_friction
     if profile_stage == 35:  # contact prep only (solver loop excluded)
         return _stage_out(scene, m_eff, target, sA, rA, rB, v0, w0)
-    if (
-        single
-        and cfg.banded_solver
-        and bp_order is not None
-        and (on_tpu or cfg.force_pallas_solver)
-    ):
-        # Banded-Morton fused solver: ALL iterations in one launch. Permute
-        # every solver input into Morton-sorted row order with ONE packed
-        # gather (per-row overhead dominates gather cost on this backend —
-        # lanes are nearly free), solve, and un-permute the (Np, 8) result.
-        from surtr_tpu.physics.solver_banded import solve_contacts_banded
-
-        f32 = wverts.dtype
-        mega = jnp.concatenate(
-            [
-                rA.reshape(Np, -1), rB.reshape(Np, -1), nrm.reshape(Np, -1),
-                m_eff, target, hit.astype(f32), is_static.astype(f32),
-                v0, w0, inv_m[:, None], split_body[:, None],
-                inv_I.reshape(Np, 9),
-            ],
-            axis=1,
-        )[bp_order]
-        o = 0
-
-        def take(n):
-            nonlocal o
-            part = mega[:, o : o + n]
-            o += n
-            return part
-
-        rA_s = take(3 * C).reshape(Np, C, 3)
-        rB_s = take(3 * C).reshape(Np, C, 3)
-        nrm_s = take(3 * C).reshape(Np, C, 3)
-        meff_s, targ_s = take(C), take(C)
-        hit_s, stat_s = take(C) > 0.5, take(C) > 0.5
-        v0_s, w0_s = take(3), take(3)
-        invm_s, split_s = take(1)[:, 0], take(1)[:, 0]
-        invI_s = take(9).reshape(Np, 3, 3)
-
-        v1_s, w1_s = solve_contacts_banded(
-            v0_s, w0_s, bp_delta, rA_s, rB_s, nrm_s, meff_s, targ_s,
-            hit_s, stat_s, invm_s, split_s, invI_s,
-            K=K, M=M, G=G, iters=cfg.solver_iters,
-            substeps=max(1, cfg.solver_substeps), mu=mu,
-            window=cfg.broadphase_window,
-            gauss_seidel=cfg.solver_gauss_seidel,
-            interpret=not on_tpu,
-        )
-        vw1 = jnp.concatenate([v1_s, w1_s], axis=1)[bp_inv]
-        return _finish_step(
-            scene, bodies, vw1[:, 0:3], vw1[:, 3:6], dt, cfg, profile_stage,
-            vn0, hit, is_static, single, myb, pidx=pidx,
-        )
-
+    # (The banded-Morton/Gauss-Seidel single-launch solver was deleted in
+    # round 5: measured-out twice as a solver, and the one-kernel COLOR
+    # SWEEP that remained the open question is dead on arrival — the
+    # per-color one-hot gather/scatter roundtrip ALONE costs 3.2 ms/step at
+    # 10k bodies (tools/exp_gs_sweep.py), 3x the whole Jacobi solver share,
+    # before any constraint math. See ROADMAP "Round-5 resolution".)
     if single and (on_tpu or cfg.force_pallas_solver):
         # Fused Pallas iteration: one kernel per iteration instead of ~25
         # XLA ops (per-op overhead dominated the solver at 10k bodies).

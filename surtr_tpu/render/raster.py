@@ -113,6 +113,37 @@ def _near_clip_full(clip: jax.Array, valid: jax.Array, aux: jax.Array):
     return out[..., :4], out[..., 4:], jnp.concatenate([v1, v2])
 
 
+def _near_clip_pooled(clip: jax.Array, valid: jax.Array):
+    """Near clip with the SECOND sub-triangles compacted into a small pool
+    instead of doubling the whole domain: a triangle only emits a second
+    piece when exactly two vertices are in front of the near plane, which
+    is a handful of triangles per frame — the full 2T domain made every
+    downstream raster stage (tile sort, payload gather, binning, chunk
+    sweep) pay 2× for rows that are ~all invalid.
+
+    Returns (clip_out (T+TP2, 3, 4), ok_out (T+TP2,), src (T+TP2,) i32
+    source-triangle ids for attribute lookup). Pool capacity TP2 = T//8:
+    overflow (needs >12.5% of ALL triangles straddling the near plane —
+    a degenerate camera) drops the extra piece of the overflowing
+    triangles only.
+    """
+    T = clip.shape[0]
+    aux0 = jnp.zeros(clip.shape[:-1] + (0,), clip.dtype)
+    c2, _, v2 = _near_clip_full(clip, valid, aux0)
+    t1, t2 = c2[:T], c2[T:]
+    v1, need2 = v2[:T], v2[T:]
+    TP2 = min(T, max(256, T // 8))
+    order2 = jnp.argsort(
+        jnp.where(need2, 0, 1).astype(jnp.int32), stable=True
+    )
+    src2 = order2[:TP2].astype(jnp.int32)
+    ok2 = need2[src2]
+    clip_out = jnp.concatenate([t1, t2[src2]])
+    ok_out = jnp.concatenate([v1, ok2])
+    src = jnp.concatenate([jnp.arange(T, dtype=jnp.int32), src2])
+    return clip_out, ok_out, src
+
+
 def near_clip(clip: jax.Array, valid: jax.Array):
     """Near-plane clip, clip-space only. Returns ((2T, 3, 4), (2T,))."""
     c2, _, v2 = _near_clip_full(
@@ -432,8 +463,6 @@ def render_scene(
     # interpolate; clip-space lerp parameters transfer to world space
     # exactly — the projective map is linear in homogeneous coordinates).
     clip = _project(tris_world, cam_vp)
-    clip2, world2, ok2 = _near_clip_full(clip, valid, tris_world)
-    sx, sy, sz, inv_w = _screen(clip2, W, H)            # (2T, 3)
 
     if normals is None and not wireframe:
         # Fast deferred path (flat shading — the interactive-loop config).
@@ -443,7 +472,10 @@ def render_scene(
         # n̂·v0] G-buffer from VMEM instead (raster_pallas in-kernel
         # one-hot contraction; the jnp path gathers, cheap off-TPU), and
         # the world position comes from intersecting the pixel ray with
-        # the winning plane.
+        # the winning plane. Near-clipped second pieces ride a small pool
+        # (T+T/8 domain) instead of doubling every raster stage to 2T.
+        clip_p, ok_p, src_p = _near_clip_pooled(clip, valid)
+        sxp, syp, szp, _ = _screen(clip_p, W, H)
         n_t = jnp.cross(
             tris_world[:, 1] - tris_world[:, 0],
             tris_world[:, 2] - tris_world[:, 0],
@@ -452,11 +484,9 @@ def render_scene(
             jnp.linalg.norm(n_t, axis=-1, keepdims=True), 1e-12
         )
         d_t = jnp.sum(n_t * tris_world[:, 0], axis=-1, keepdims=True)
-        attr_tab = jnp.tile(
-            jnp.concatenate([n_t, colors, d_t], axis=1), (2, 1)
-        )                                               # (2T, 7)
+        attr_tab = jnp.concatenate([n_t, colors, d_t], axis=1)[src_p]
         depth, tid2, gbuf = raster_screen(
-            sx, sy, sz, ok2, W, H, attr_tab=attr_tab
+            sxp, syp, szp, ok_p, W, H, attr_tab=attr_tab
         )
         return _shade_deferred(
             tris_world, colors, cam_vp, light_vp, light_dir,
@@ -464,6 +494,8 @@ def render_scene(
             gbuf=gbuf,
         )
 
+    clip2, world2, ok2 = _near_clip_full(clip, valid, tris_world)
+    sx, sy, sz, inv_w = _screen(clip2, W, H)            # (2T, 3)
     depth, tid2 = raster_screen(sx, sy, sz, ok2, W, H)
     hit = tid2 >= 0
     t2 = jnp.clip(tid2, 0, 2 * T - 1)

@@ -177,12 +177,10 @@ def test_raycast_and_sphere_overlap():
 import pytest
 
 
-@pytest.mark.parametrize("banded", [False, True])
-def test_pallas_solver_matches_xla_solver(banded):
-    """The fused Pallas solvers (single-piece bodies) must agree with the
-    XLA reference path: ``banded=False`` = per-iteration kernel
-    (solver_pallas), ``banded=True`` = single-launch banded-Morton solver
-    (solver_banded, needs the sorted broadphase)."""
+def test_pallas_solver_matches_xla_solver():
+    """The fused per-iteration Pallas solver (single-piece bodies) must
+    agree with the XLA reference path. (The banded-Morton variant was
+    deleted in round 5 — measured-out; see tools/exp_gs_sweep.py.)"""
     import dataclasses
 
     offsets = [[0, -1.45, 0], [0, -0.4, 0], [0.3, 0.65, 0], [5, -1.4, 0]]
@@ -190,13 +188,12 @@ def test_pallas_solver_matches_xla_solver(banded):
     base = dataclasses.replace(
         PCFG,
         single_piece_bodies=True,
-        broadphase="sorted" if banded else "exact",
-        banded_solver=banded,
+        broadphase="exact",
     )
     s0 = build_scene(make_pieces(offsets, groups), base)
     s_x = s0
     s_p = s0
-    xla_cfg = dataclasses.replace(base, banded_solver=False, broadphase="exact")
+    xla_cfg = dataclasses.replace(base, broadphase="exact")
     step_x = jax.jit(lambda s: physics_step(s, xla_cfg))
     forced = dataclasses.replace(base, force_pallas_solver=True)
     step_p = jax.jit(lambda s: physics_step(s, forced))

@@ -79,6 +79,9 @@ def main():
         44: "44  (+pooled fold)",
         5: "5 +cull+mesh clip",
         6: "6 +islands",
+        45: "f1 occupancy",
+        46: "f2 +pool+refit planes",
+        47: "f3 +refit clip fold",
         7: "7 +finish(refit/caps)",
         99: "8 full (pack+metrics)",
     }

@@ -48,9 +48,7 @@ def make_scene(n=10_000):
     pcfg = PhysicsConfig(
         single_piece_bodies=True,
         max_hull_verts=32,
-        banded_solver=os.environ.get("SURTR_BANDED", "0") != "0",
         pallas_narrowphase=os.environ.get("SURTR_NP", "0") != "0",
-        solver_gauss_seidel=os.environ.get("SURTR_GS", "0") != "0",
         broadphase=os.environ.get("SURTR_BP", "auto"),
     )
     side = int(round(n ** (1 / 3)))
