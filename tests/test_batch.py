@@ -46,6 +46,7 @@ def test_batch_decompose_conserves_each_mesh():
     assert not np.array_equal(v0, v1)
 
 
+@pytest.mark.slow  # shard_map equivalence: compile-heavy; `make test-all`
 def test_sharded_batch_matches_unsharded():
     # No skip: conftest guarantees 8 CPU devices; fail loudly otherwise.
     devices = jax.devices("cpu")

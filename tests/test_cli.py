@@ -5,6 +5,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from surtr_tpu.__main__ import main, parse_impact
 
@@ -18,6 +19,7 @@ def test_parse_impact_spec():
     assert s2 == 0 and o2 == (1.0, 2.0, 3.0)
 
 
+@pytest.mark.slow  # full CLI e2e: compile-heavy; runs in `make test-all`
 def test_cli_tiny_end_to_end(tmp_path, capsys):
     frames = tmp_path / "frames"
     snap = tmp_path / "state.npz"

@@ -161,6 +161,7 @@ def test_radial_pattern_cells_tile_exactly():
     assert np.isclose(float(v.sum()), 1.0, atol=2e-3)
 
 
+@pytest.mark.slow  # config-variant of the conservation tests; `make test-all`
 def test_medium_config_impact_conserves_volume():
     """Scene-level conservation through an impact (regression: an impact
     inflated 27 → 36 via overlapping pattern cells). Uses test_scene's

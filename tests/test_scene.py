@@ -37,12 +37,12 @@ def test_scene_init(scene):
 def test_interactive_impact_loop():
     sc = Scene("cube", CFG)
     v0 = sc.total_volume()
-    sc.step(30)
+    sc.step(12)
     out = sc.fire_impact((0, 4.5, -10), (0, 0, 1))
     assert out["targets"] == [0]
     assert sc.num_bodies() > 1
     assert np.isclose(sc.total_volume(), v0, rtol=1e-3)
-    sc.step(60)
+    sc.step(24)
     ys = sc.positions()[np.asarray(sc.phys.bodies.active), 1]
     assert (ys > -2.1).all()  # nothing fell through the ground
     # Recursive refracture on a fragment.

@@ -7,8 +7,10 @@ in environments where env-var platform forcing is ignored.
 """
 
 import jax
+import pytest
 
 
+@pytest.mark.slow  # the driver runs this dryrun separately; `make test-all`
 def test_dryrun_multichip_all_devices():
     import __graft_entry__ as ge
 
