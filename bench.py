@@ -350,9 +350,10 @@ def bench_render(size=512, shadow=512):
     ldir = jnp.asarray([-0.4, -1.0, -0.3])
     lvp = light_view_proj(ldir, (0, 0, 0), 8.0)
 
-    # Amortize the tunnel dispatch floor over 8 frames (steady-state
-    # interactive-loop behavior, same discipline as the other configs).
-    REP = 8
+    # Amortize the tunnel dispatch floor over 64 frames (steady-state
+    # interactive-loop behavior, same REP as the headline configs — the
+    # frame is stateless, so the scan is pure repetition).
+    REP = 64
 
     @jax.jit
     def run(t):

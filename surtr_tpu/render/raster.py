@@ -376,8 +376,14 @@ def _shade_deferred(
         return world_h[..., :3] / wdiv[..., None]
 
     x0 = unproj(0.0)
-    x1 = unproj(1.0)
-    ray = x1 - x0
+    # Ray direction WITHOUT a second unprojection: the camera center is the
+    # preimage of clip [0,0,1,0] (h = inv_vp @ e_z, eye = h₃⁻¹·h[:3] for a
+    # perspective map), and the ray-plane form below is invariant to the
+    # ray's scale AND sign, so ray = h₃·x0 − h[:3] works for perspective
+    # (∝ x0 − eye) and degenerates to the constant view direction −h[:3]
+    # for an orthographic camera (h₃ = 0).
+    h = inv_vp[:, 2]
+    ray = h[3] * x0 - h[:3]
     ndot0 = jnp.sum(pl[..., :3] * x0, -1)
     ndotr = jnp.sum(pl[..., :3] * ray, -1)
     tstar = (pl[..., 3] - ndot0) / jnp.where(
