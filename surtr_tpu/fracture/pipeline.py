@@ -1667,7 +1667,7 @@ def split_groups_by_contact(pieces: PieceSet, eps, exact: bool = False):
         K4 = min(4, KP)
         S = pieces.convex.S
         has_cand = jnp.any(pair_ok, axis=1)                 # (pf,)
-        FPOOL = min(pf, max(1024, pf // 3))
+        FPOOL = min(pf, max(1024, pf // 4))
         forder = jnp.argsort(
             jnp.where(has_cand, 0, 1).astype(jnp.int32), stable=True
         )
